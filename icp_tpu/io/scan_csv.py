@@ -1,0 +1,51 @@
+"""Lidar scan CSV parsing.
+
+Replaces ``common/parse_scan.cpp:18-50``: each line is ``x,y``; rows with
+±inf coordinates (lidar no-returns) are dropped.  Under XLA's static-shape
+model "dropped" means the cloud is front-packed and padded (see
+:mod:`icp_tpu.cloud`).
+
+If the native C++ loader (``native/``) is built it is used for speed on
+large scan sets; the NumPy fallback is always available and byte-equivalent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cloud import PointCloud, from_points
+
+
+def parse_lidar_scan_array(path: str) -> np.ndarray:
+    """Parse a scan CSV into an ``(n, 2)`` float64 array of finite points."""
+    from ..utils.native import native_lib
+
+    lib = native_lib()
+    if lib is not None:
+        pts = lib.parse_scan_csv(path)
+        if pts is not None:
+            return pts
+    rows = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            x_str, _, y_str = line.partition(",")
+            try:
+                x = float(x_str)
+                y = float(y_str)
+            except ValueError:
+                continue
+            if np.isinf(x) or np.isinf(y):
+                continue  # ``parse_scan.cpp:37-39``
+            rows.append((x, y))
+    return np.asarray(rows, dtype=np.float64).reshape(-1, 2)
+
+
+def parse_lidar_scan(
+    path: str, capacity: int | None = None, dtype=np.float32
+) -> PointCloud:
+    """Parse a scan CSV into a padded :class:`PointCloud`."""
+    pts = parse_lidar_scan_array(path)
+    return from_points(pts, capacity=capacity, dtype=dtype)

@@ -1,0 +1,83 @@
+"""Method interface and string-keyed registry.
+
+TPU-native counterpart of the ``ICP<Dim>`` abstract class and its static
+method registry (``include/icp/icp.h:49-173``, ``lib/icp/icp.cpp:16-27``).
+Instead of virtual ``setup()``/``iterate()`` mutating protected state, a
+method is a bundle of **pure functions** over an immutable state pytree:
+
+* ``init(source, target, guess) -> state``   — ``ICP::begin`` + ``setup()``
+  (``icp.h:120-133``)
+* ``iterate(state) -> state``                — ``ICP::iterate`` (``icp.h:141``)
+* ``cost(state) -> scalar``                  — ``ICP::calculate_cost``
+  (``icp.h:149-155``); per-method quirks preserved (see method modules).
+
+States support arbitrary leading batch dimensions, so one compiled program
+registers one pair or thousands.  Config parameters are resolved at method
+construction (trace time) and baked into the jitted step.
+
+The registry mirrors ``from_method`` / ``is_method_registered`` /
+``registered_methods`` (``icp.h:95-114``): 2D registers ``vanilla``,
+``trimmed``, ``feature_aware``; 3D registers ``vanilla``, ``trimmed``
+(``icp.cpp:16-27``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+
+from ..cloud import PointCloud
+from ..config import Config
+from ..geometry import RigidTransform
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Method:
+    """A registered ICP method: pure init/iterate/cost over a state pytree."""
+
+    name: str
+    dim: int
+    init: Callable[[PointCloud, PointCloud, RigidTransform], Any]
+    iterate: Callable[[Any], Any]
+    cost: Callable[[Any], Array]
+
+
+MethodFactory = Callable[[Config], Method]
+
+_REGISTRY: dict[tuple[str, int], MethodFactory] = {}
+
+
+def register_method(name: str, dim: int, factory: MethodFactory) -> None:
+    """Register a method constructor under ``(name, dim)``.
+
+    The extension contract mirrors the reference's how-to guide
+    (``book/writing_icp.md:43-76``): implement init/iterate, then register.
+    """
+    _REGISTRY[(name, dim)] = factory
+
+
+def from_method(name: str, dim: int, config: Config | None = None) -> Method:
+    """Construct a method by name, as ``ICP<Dim>::from_method`` (``icp.h:95-102``).
+
+    Raises ``KeyError`` listing registered methods if unknown (the reference
+    returns an empty optional and the CLI prints the list,
+    ``vis/main.cpp:133-139``).
+    """
+    key = (name, dim)
+    if key not in _REGISTRY:
+        raise KeyError(
+            f"unknown {dim}D method {name!r}; registered: {registered_methods(dim)}"
+        )
+    return _REGISTRY[key](config if config is not None else Config())
+
+
+def is_method_registered(name: str, dim: int) -> bool:
+    return (name, dim) in _REGISTRY
+
+
+def registered_methods(dim: int) -> list[str]:
+    return sorted(n for (n, d) in _REGISTRY if d == dim)

@@ -1,0 +1,113 @@
+"""2D ``trimmed`` ICP (Chetverikov et al., Trimmed ICP).
+
+TPU-native re-design of ``lib/icp/impl/trimmed.cpp``.  The reference does a
+brute-force O(n*m) correspondence scan storing **squared** distances
+(``trimmed.cpp:95-109``), sorts matches by cost and keeps the best
+``new_n = max(1, floor(overlap_rate * n))`` (``trimmed.cpp:55-58``), then
+runs the same centered cross-covariance + det-fixed SVD as vanilla on the
+kept subset (``trimmed.cpp:68-92``).
+
+Sorting and physically gathering a dynamically-sized subset is hostile to
+XLA's static shapes.  Instead we compute each match's **rank** among the
+sorted costs (a stable argsort-of-argsort — ties break toward the lower
+source index, matching a stable sort; ``std::sort``'s tie order is
+unspecified, so any consistent rule is within-spec) and feed 0/1 weights
+``rank < new_n`` into the weighted rigid solve.  The selected set is
+identical to the reference's, and the weighted sums equal its subset sums up
+to fp reassociation.
+
+Unlike ``vanilla``, matches here are recomputed from the **transformed**
+source every iteration (``trimmed.cpp:40-43``), so this is the method whose
+correspondences actually track the registration.
+
+``calculate_cost`` for this method sums the *untrimmed* squared distances of
+all n matches (the sort permutes but does not drop entries before the base
+class reads them), i.e. the RMS nearest-neighbor distance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry
+from ..cloud import PointCloud
+from ..config import Config
+from ..geometry import RigidTransform
+from ..ops.nn import nearest_neighbors
+from ..ops.rigid_fit import fit_rigid
+from .base import Method
+
+Array = jax.Array
+
+DEFAULT_OVERLAP_RATE = 0.9  # ``trimmed.cpp:28``
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrimmedState:
+    transform: RigidTransform
+    source: PointCloud
+    target: PointCloud
+    match_idx: Array  # (..., N) int32
+    match_cost: Array  # (..., N) squared NN distance (+inf on padding)
+
+
+def trim_weights(costs: Array, valid_count: Array, overlap_rate: float, dtype) -> Array:
+    """0/1 weights selecting the ``max(1, floor(overlap_rate * n))`` smallest costs.
+
+    ``costs`` must be +inf at padded slots so they rank last.  ``valid_count``
+    is the (traced) number of valid source points n.
+    """
+    order = jnp.argsort(costs, axis=-1, stable=True)
+    iota = jnp.broadcast_to(
+        jnp.arange(costs.shape[-1], dtype=order.dtype), order.shape
+    )
+    # Invert the permutation: ranks[order[r]] = r.
+    ranks = jnp.put_along_axis(
+        jnp.zeros_like(order), order, iota, axis=-1, inplace=False
+    )
+    keep = jnp.floor(
+        jnp.asarray(overlap_rate, dtype=dtype) * valid_count.astype(dtype)
+    ).astype(jnp.int32)
+    keep = jnp.maximum(keep, 1)  # ``trimmed.cpp:58``
+    return (ranks < keep[..., None]).astype(dtype)
+
+
+def _compute_matches(a_current: Array, target: PointCloud, source_mask: Array):
+    sq, idx = nearest_neighbors(a_current, target.points, target.mask)
+    inf = jnp.asarray(jnp.inf, dtype=sq.dtype)
+    sq = jnp.where(source_mask, sq, inf)
+    return idx, sq
+
+
+def create(config: Config) -> Method:
+    overlap_rate = config.get("overlap_rate", DEFAULT_OVERLAP_RATE)
+
+    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> TrimmedState:
+        a_current = geometry.apply(guess, source.points)
+        idx, sq = _compute_matches(a_current, target, source.mask)
+        return TrimmedState(guess, source, target, idx, sq)
+
+    def iterate(state: TrimmedState) -> TrimmedState:
+        src, tgt = state.source, state.target
+        a_current = geometry.apply(state.transform, src.points)
+        idx, sq = _compute_matches(a_current, tgt, src.mask)
+        weights = trim_weights(sq, src.count, overlap_rate, src.dtype)
+        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
+        step = fit_rigid(a_current, matched_b, weights)
+        return dataclasses.replace(
+            state,
+            transform=geometry.compose(step, state.transform),
+            match_idx=idx,
+            match_cost=sq,
+        )
+
+    def cost(state: TrimmedState) -> Array:
+        finite = jnp.where(state.source.mask, state.match_cost, 0.0)
+        n = jnp.maximum(state.source.count.astype(finite.dtype), 1.0)
+        return jnp.sqrt(jnp.sum(finite, axis=-1) / n)
+
+    return Method(name="trimmed", dim=2, init=init, iterate=iterate, cost=cost)

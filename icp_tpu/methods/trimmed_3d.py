@@ -1,0 +1,74 @@
+"""3D ``trimmed`` ICP (distance-gated, not overlap-rate based).
+
+TPU-native re-design of ``lib/icp/impl/trimmed_3d.cpp``.  Identical to the
+3D vanilla method except pairs are **gated by distance**: only matches with
+``neighbor.distance <= max_distance`` feed the rigid solve
+(``trimmed_3d.cpp:97-102``).  Because the neighbor distance is
+``sqrt(Euclidean)`` (see ``vanilla_3d`` module doc), the gate effectively
+compares ``d^(1/2) <= max_distance`` i.e. Euclidean ``d <= max_distance^2``
+— reproduced exactly.
+
+Config: ``max_distance`` (double, default 1.0, ``trimmed_3d.cpp:27``).
+(The reference's no-config constructor leaves ``max_distance``
+uninitialized — UB we do not reproduce.)
+
+The gate becomes a 0/1 weight vector into the weighted Kabsch solve; an
+empty gate (reference: 3x0 matrices into Eigen SVD, NaN centroids) instead
+yields an identity step here — a documented, conscious deviation for a
+well-defined edge case.
+
+Driver-visible cost is 0.0 exactly as in ``vanilla_3d`` (shared quirk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry
+from ..cloud import PointCloud
+from ..config import Config
+from ..geometry import RigidTransform
+from ..ops.rigid_fit import fit_rigid
+from .base import Method
+from .vanilla_3d import Vanilla3dState, _mean_distance, _neighbor_distances
+
+Array = jax.Array
+
+DEFAULT_MAX_DISTANCE = 1.0  # ``trimmed_3d.cpp:27``
+
+
+def create(config: Config) -> Method:
+    max_distance = config.get("max_distance", DEFAULT_MAX_DISTANCE)
+    parity = bool(config.get("parity", 1))
+    solver = config.get("solver", "auto")
+
+    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> Vanilla3dState:
+        big = jnp.full(source.batch_shape, jnp.finfo(source.dtype).max, dtype=source.dtype)
+        return Vanilla3dState(guess, source.points, source, target, big)
+
+    def iterate(state: Vanilla3dState) -> Vanilla3dState:
+        src, tgt = state.source, state.target
+        dist, idx = _neighbor_distances(state.c, tgt)
+        gate = (dist <= max_distance) & src.mask
+        weights = gate.astype(src.dtype)
+        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
+        step = fit_rigid(state.c, matched_b, weights, solver=solver)
+        c_new = geometry.apply(step, state.c)
+        return dataclasses.replace(
+            state,
+            transform=geometry.compose(step, state.transform),
+            c=c_new,
+            # cost uses ALL neighbor distances, not just gated ones
+            # (``trimmed_3d.cpp:115`` passes the full vector).
+            mean_nn_dist=_mean_distance(dist, src.mask, src.count),
+        )
+
+    def cost(state: Vanilla3dState) -> Array:
+        if parity:
+            return jnp.zeros(state.mean_nn_dist.shape, dtype=state.mean_nn_dist.dtype)
+        return state.mean_nn_dist
+
+    return Method(name="trimmed", dim=3, init=init, iterate=iterate, cost=cost)

@@ -1,0 +1,19 @@
+from .nn import masked_min_with_index, nearest_neighbors, pairwise_sq_dists
+from .rigid_fit import (
+    cross_covariance,
+    fit_rigid,
+    rotation_from_covariance_2d,
+    rotation_from_covariance_3d_quat,
+    rotation_from_covariance_3d_svd,
+)
+
+__all__ = [
+    "nearest_neighbors",
+    "pairwise_sq_dists",
+    "masked_min_with_index",
+    "fit_rigid",
+    "cross_covariance",
+    "rotation_from_covariance_2d",
+    "rotation_from_covariance_3d_svd",
+    "rotation_from_covariance_3d_quat",
+]
