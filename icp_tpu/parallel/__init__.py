@@ -1,0 +1,36 @@
+"""Distributed / mesh-parallel layer (net-new vs the single-threaded reference).
+
+* :mod:`.mesh` — named ``(data, points)`` device mesh + multi-host bring-up.
+* :mod:`.converge` — batched registration sharded via GSPMD annotations.
+* :mod:`.sharded_nn` — target-sharded exact NN with argmin-combine collectives.
+* :mod:`.big_cloud` — one giant pair sharded over points with psum-reduced
+  Kabsch inside a single ``shard_map``.
+"""
+
+from .mesh import (
+    DATA_AXIS,
+    POINT_AXIS,
+    batch_sharding,
+    cloud_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicated,
+)
+from .converge import make_sharded_converge_fn, shard_batch, sharded_converge_shardings
+from .sharded_nn import sharded_nearest_neighbors
+from .big_cloud import big_cloud_converge
+
+__all__ = [
+    "DATA_AXIS",
+    "POINT_AXIS",
+    "batch_sharding",
+    "big_cloud_converge",
+    "cloud_sharding",
+    "initialize_multihost",
+    "make_mesh",
+    "make_sharded_converge_fn",
+    "replicated",
+    "shard_batch",
+    "sharded_converge_shardings",
+    "sharded_nearest_neighbors",
+]

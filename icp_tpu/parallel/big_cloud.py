@@ -1,0 +1,178 @@
+"""Big-cloud registration: ONE giant scan pair sharded across the mesh.
+
+The sequence-parallel analogue for scan matching (SURVEY §5): when a single
+cloud outgrows one chip's memory/FLOPs, shard its **points** over the
+``points`` mesh axis and express the per-iteration reductions as explicit
+collectives inside one ``shard_map``:
+
+* each device owns a slice of the source's working copy and computes its
+  rows of the distance tile against the (gathered) target — the row-argmin
+  needs no collective;
+* the weighted Kabsch needs only five global sums (Σw, Σw·a, Σw·b,
+  Σw·a⊗b, Σ dist) — combined with ``jax.lax.psum`` over ``points``; the
+  D×D rotation solve then runs replicated on every device;
+* the convergence loop (max-iterations + transform tolerance, the criteria
+  meaningful for the 3D family, ``driver.h:154-222``) runs entirely
+  on-device as a ``lax.while_loop`` around the sharded step.
+
+The target is all-gathered per iteration (point clouds are MBs — ICI
+bandwidth makes this cheap; a ppermute-ring tiling is the follow-up for
+targets beyond per-device HBM).
+
+This module implements the working-copy iteration scheme of the 3D family
+(``vanilla_3d.cpp:90-93``) generalized to 2D/3D with an optional distance
+gate (``trimmed_3d.cpp:97-102``) — on ungated runs it is sharded
+``vanilla_3d``; gated, sharded ``trimmed_3d``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .. import geometry
+from ..geometry import RigidTransform
+from ..ops.nn import nearest_neighbors
+from ..ops import rigid_fit
+from .mesh import POINT_AXIS
+
+Array = jax.Array
+
+
+def _rotation_from_h(h: Array, solver: str) -> Array:
+    dim = h.shape[-1]
+    if dim == 2:
+        return rigid_fit.rotation_from_covariance_2d(h)
+    if solver == "auto":
+        solver = "svd" if h.dtype == jnp.float64 else "quat"
+    if solver == "svd":
+        return rigid_fit.rotation_from_covariance_3d_svd(h)
+    return rigid_fit.rotation_from_covariance_3d_quat(h)
+
+
+def big_cloud_converge(
+    source_points: Array,
+    source_mask: Array,
+    target_points: Array,
+    target_mask: Array,
+    guess: RigidTransform,
+    mesh: Mesh,
+    *,
+    max_iterations: int,
+    angle_tolerance: float | None = None,
+    translation_tolerance: float | None = None,
+    max_distance: float | None = None,
+    solver: str = "auto",
+):
+    """Register one sharded pair; returns ``(transform, iterations, mean_nn)``.
+
+    ``source_points (N, D)`` / ``source_mask (N,)`` and ``target_points
+    (M, D)`` / ``target_mask (M,)`` are sharded over ``points``; ``guess``
+    is replicated.  N and M must divide by the ``points`` axis size.
+    """
+    n_shards = mesh.shape[POINT_AXIS]
+    if source_points.shape[0] % n_shards or target_points.shape[0] % n_shards:
+        raise ValueError("point capacities must divide the points axis size")
+    dim = source_points.shape[-1]
+    dtype = source_points.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(POINT_AXIS, None),
+            P(POINT_AXIS),
+            P(POINT_AXIS, None),
+            P(POINT_AXIS),
+            P(None, None),
+            P(None),
+        ),
+        out_specs=(P(None, None), P(None), P(), P()),
+        check_vma=False,
+    )
+    def _run(src_local, smask_local, tgt_local, tmask_local, guess_rot, guess_trans):
+        tgt_full = jax.lax.all_gather(tgt_local, POINT_AXIS, tiled=True)
+        tmask_full = jax.lax.all_gather(tmask_local, POINT_AXIS, tiled=True)
+        w_src = smask_local.astype(dtype)
+
+        def step(carry):
+            rot, trans, c_local, _, it = carry
+            sq, idx = nearest_neighbors(c_local, tgt_full, tmask_full)
+            dist = jnp.sqrt(jnp.sqrt(sq))  # reference sqrt(Euclidean) semantics
+            if max_distance is not None:
+                w = jnp.where(dist <= max_distance, w_src, 0.0)
+            else:
+                w = w_src
+            matched = jnp.take_along_axis(tgt_full, idx[..., None], axis=-2)
+
+            # Partial weighted sums -> psum over the points axis.
+            sw = jax.lax.psum(jnp.sum(w), POINT_AXIS)
+            swa = jax.lax.psum(jnp.einsum("nd,n->d", c_local, w), POINT_AXIS)
+            swb = jax.lax.psum(jnp.einsum("nd,n->d", matched, w), POINT_AXIS)
+            swab = jax.lax.psum(jnp.einsum("ni,nj,n->ij", c_local, matched, w), POINT_AXIS)
+            sdist = jax.lax.psum(jnp.sum(dist * w_src), POINT_AXIS)
+            scount = jax.lax.psum(jnp.sum(w_src), POINT_AXIS)
+
+            sw_safe = jnp.maximum(sw, tiny)
+            ca, cb = swa / sw_safe, swb / sw_safe
+            h = swab - jnp.outer(swa, swb) / sw_safe
+            r_step = _rotation_from_h(h, solver)
+            t_step = cb - r_step @ ca
+
+            c_new = c_local @ r_step.T + t_step
+            rot_new = r_step @ rot
+            trans_new = r_step @ trans + t_step
+            mean_nn = sdist / jnp.maximum(scount, 1.0)
+            return rot_new, trans_new, c_new, mean_nn, it + 1
+
+        def cond(carry):
+            *_, it = carry
+            return it < max_iterations
+
+        init = (
+            guess_rot,
+            guess_trans,
+            src_local,  # working copy starts at the raw source (3D-family quirk)
+            jnp.asarray(jnp.finfo(dtype).max, dtype=dtype),
+            jnp.asarray(0, dtype=jnp.int32),
+        )
+
+        if angle_tolerance is None:
+            rot, trans, _, mean_nn, it = jax.lax.while_loop(cond, step, init)
+        else:
+            # Carry (prev_rot, prev_trans) for the transform-tolerance test.
+            def step2(carry):
+                inner, prev = carry
+                new_inner = step(inner)
+                return new_inner, (inner[0], inner[1])
+
+            def cond2(carry):
+                inner, prev = carry
+                rot, trans, _, _, it = inner
+                prev_rot, prev_trans = prev
+                angle = geometry.rotation_angle(rot @ prev_rot.T)
+                tdelta = jnp.linalg.norm(trans - prev_trans)
+                settled = (
+                    (jnp.abs(angle) < angle_tolerance)
+                    & (tdelta < translation_tolerance)
+                    & (it > 0)
+                )
+                return (it < max_iterations) & ~settled
+
+            big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+            prev0 = (jnp.full((dim, dim), big, dtype=dtype), jnp.full((dim,), big, dtype=dtype))
+            (rot, trans, _, mean_nn, it), _ = jax.lax.while_loop(
+                cond2, step2, (init, prev0)
+            )
+        return rot, trans, mean_nn, it
+
+    rot, trans, mean_nn, iters = _run(
+        source_points, source_mask, target_points, target_mask,
+        guess.rotation, guess.translation,
+    )
+    return RigidTransform(rot, trans), iters, mean_nn

@@ -1,0 +1,161 @@
+"""Sharding-layer tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed mode at all (SURVEY §2.4); the contract for
+every sharded path here is exact equivalence with the single-device
+implementation — poses and indices, not just tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import icp_tpu as icp
+from icp_tpu import geometry
+from icp_tpu.ops.nn import nearest_neighbors
+from icp_tpu.parallel import (
+    big_cloud_converge,
+    make_mesh,
+    make_sharded_converge_fn,
+    shard_batch,
+    sharded_nearest_neighbors,
+)
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_sharded_nn_matches_single_device(rng):
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    q = jnp.asarray(rng.uniform(-50, 50, (96, 3)))
+    t = jnp.asarray(rng.uniform(-50, 50, (160, 3)))
+    mask = jnp.asarray(rng.uniform(size=160) > 0.1)
+
+    sq_ref, idx_ref = nearest_neighbors(q, t, mask)
+    sq, idx = sharded_nearest_neighbors(q, t, mask, mesh)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(sq_ref), rtol=1e-12)
+
+
+def test_sharded_nn_tie_break_matches(rng):
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    # Duplicate target points across shards force cross-shard ties.
+    base = rng.uniform(-5, 5, (16, 2))
+    t = jnp.asarray(np.tile(base, (8, 1)))  # 128 targets, every point x8
+    q = jnp.asarray(base + rng.normal(0, 0.01, base.shape))
+    sq_ref, idx_ref = nearest_neighbors(q, t, None)
+    sq, idx = sharded_nearest_neighbors(q, t, None, mesh)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+@pytest.mark.parametrize("shard_points", [False, True])
+def test_sharded_converge_matches_unsharded(rng, shard_points):
+    require_devices(8)
+    mesh = make_mesh(data=4, points=2) if shard_points else make_mesh(data=8, points=1)
+    batch = 8
+    cap = 64
+
+    a_clouds, b_clouds = [], []
+    for k in range(batch):
+        n = 40 + k
+        a_pts = rng.uniform(-30, 30, (n, 2))
+        ang = rng.uniform(-0.2, 0.2)
+        c, s = np.cos(ang), np.sin(ang)
+        b_pts = a_pts @ np.array([[c, s], [-s, c]]) + rng.uniform(-2, 2, 2)
+        a_clouds.append(icp.from_points(a_pts, capacity=cap, dtype=np.float64))
+        b_clouds.append(icp.from_points(b_pts, capacity=cap, dtype=np.float64))
+    a_batch, b_batch = icp.stack(a_clouds), icp.stack(b_clouds)
+    guess = icp.identity(2, (batch,), dtype=np.float64)
+
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+    cfg = icp.DriverConfig(
+        max_iterations=25, angle_tolerance=1e-3, translation_tolerance=1e-2
+    )
+
+    ref, _ = icp.converge(method, a_batch, b_batch, guess, cfg)
+
+    fn = make_sharded_converge_fn(method, cfg, mesh, shard_points=shard_points)
+    src, tgt, g = shard_batch((a_batch, b_batch, guess), mesh, shard_points)
+    got, _ = fn(src, tgt, g)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.iteration_count), np.asarray(ref.iteration_count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.transform.rotation), np.asarray(ref.transform.rotation), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.transform.translation),
+        np.asarray(ref.transform.translation),
+        atol=1e-9,
+    )
+
+
+@pytest.mark.parametrize("gate", [None, 3.0])
+def test_big_cloud_matches_method(rng, gate):
+    """Sharded big-cloud converge == unsharded vanilla_3d/trimmed_3d."""
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    n, m = 256, 320
+    a_pts = rng.uniform(-10, 10, (n, 3))
+    ang = 0.15
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    b_pts = np.concatenate([a_pts @ rot.T + [1.0, -0.5, 0.2], rng.uniform(-10, 10, (m - n, 3))])
+
+    name_cfg = (
+        ("vanilla", icp.Config()) if gate is None else ("trimmed", icp.Config(max_distance=gate))
+    )
+    method = icp.from_method(name_cfg[0], 3, name_cfg[1])
+    a = icp.from_points(a_pts, capacity=n, dtype=np.float64)
+    b = icp.from_points(b_pts, capacity=m, dtype=np.float64)
+    state = method.init(a, b, icp.identity(3, dtype=np.float64))
+    for _ in range(10):
+        state = method.iterate(state)
+
+    tf, iters, mean_nn = big_cloud_converge(
+        jnp.asarray(a_pts),
+        jnp.ones(n, dtype=bool),
+        jnp.asarray(b_pts),
+        jnp.ones(m, dtype=bool),
+        icp.identity(3, dtype=np.float64),
+        mesh,
+        max_iterations=10,
+        max_distance=gate,
+        solver="svd",
+    )
+    assert int(iters) == 10
+    np.testing.assert_allclose(
+        np.asarray(tf.rotation), np.asarray(state.transform.rotation), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(tf.translation), np.asarray(state.transform.translation), atol=1e-8
+    )
+
+
+def test_big_cloud_transform_tolerance_terminates(rng):
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    n = 128
+    a_pts = rng.uniform(-10, 10, (n, 3))
+    b_pts = a_pts + np.array([0.5, -0.2, 0.1])
+    tf, iters, mean_nn = big_cloud_converge(
+        jnp.asarray(a_pts),
+        jnp.ones(n, dtype=bool),
+        jnp.asarray(b_pts),
+        jnp.ones(n, dtype=bool),
+        icp.identity(3, dtype=np.float64),
+        mesh,
+        max_iterations=100,
+        angle_tolerance=1e-6,
+        translation_tolerance=1e-6,
+        solver="svd",
+    )
+    assert int(iters) < 100
+    np.testing.assert_allclose(
+        np.asarray(tf.translation), [0.5, -0.2, 0.1], atol=1e-6
+    )
