@@ -210,6 +210,46 @@ def cmd_bench(args):
             print(f"* Average time per iteration: {dt / max(sum(iters), 1):.6g}s")
 
 
+def cmd_odometry(args):
+    import jax.numpy as jnp
+
+    import icp_tpu as icp
+    from . import odometry
+
+    clouds = [icp.parse_lidar_scan(p) for p in args.scans]
+    cap = max(c.capacity for c in clouds)
+    scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
+    method = _make_method(args.method, 2, _parse_config(args.config))
+    cfg = _driver_config(args)
+
+    traj = odometry.chain_scans(scans, method, cfg)
+    if args.optimize:
+        from . import pose_graph
+
+        # Edge measurements are frame-t-relative poses of frame t+1 — the
+        # INVERSE of the registration transform (see odometry.compose_chain).
+        from . import geometry as _geo
+
+        graph = pose_graph.graph_from_trajectory(traj.poses, _geo.inverse(traj.relative))
+        graph, costs = pose_graph.optimize(graph, iterations=args.gn_iterations)
+        poses = graph.poses
+        print(f"pose-graph cost: {float(costs[0]):.6g} -> {float(costs[-1]):.6g}",
+              file=sys.stderr)
+    else:
+        poses = traj.poses
+
+    for t in range(len(args.scans)):
+        rec = {
+            "scan": args.scans[t],
+            "rotation": np.asarray(poses.rotation[t]).tolist(),
+            "translation": np.asarray(poses.translation[t]).tolist(),
+        }
+        if t > 0:
+            rec["iterations"] = int(traj.registration.iteration_count[t - 1])
+            rec["cost"] = float(traj.registration.cost[t - 1])
+        print(json.dumps(rec))
+
+
 def cmd_methods(args):
     from .methods import registered_methods
 
@@ -253,6 +293,15 @@ def main(argv=None):
     p_bench.add_argument("--data-dir", default="/root/reference/ex_data")
     p_bench.add_argument("-c", "--config", nargs="*")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_odo = sub.add_parser("odometry", help="chain a scan sequence into a trajectory")
+    p_odo.add_argument("--scans", nargs="+", required=True, help="ordered scan CSVs")
+    p_odo.add_argument("-m", "--method", default="trimmed")
+    p_odo.add_argument("-c", "--config", nargs="*")
+    p_odo.add_argument("--optimize", action="store_true", help="pose-graph refine")
+    p_odo.add_argument("--gn-iterations", type=int, default=10)
+    _add_driver_flags(p_odo)
+    p_odo.set_defaults(fn=cmd_odometry)
 
     p_m = sub.add_parser("methods", help="list registered methods")
     p_m.set_defaults(fn=cmd_methods)

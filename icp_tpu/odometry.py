@@ -1,0 +1,131 @@
+"""Sequential scan odometry: trajectories from chained registrations.
+
+Net-new vs the reference (which registers exactly one pair per run).  The
+TPU formulation registers ALL consecutive pairs of a scan sequence in one
+batched ``converge`` (the (T-1)-pair fleet is the batch axis), then composes
+the relative poses into a trajectory with a **log-depth associative scan**
+over SE(D) — ``jax.lax.associative_scan`` on (rotation, translation)
+compose, instead of a serial T-step loop.
+
+Keyframing thins the trajectory for the pose-graph back-end: a scan becomes
+a keyframe when its pose has moved beyond a translation/angle threshold
+since the last keyframe (computed on host over the returned trajectory —
+selection is data-dependent and feeds graph construction, not compiled
+compute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry
+from .cloud import PointCloud
+from .driver import ConvergenceState, DriverConfig, converge
+from .geometry import RigidTransform
+from .methods.base import Method
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Trajectory:
+    """Absolute poses ``world_from_scan[t]`` for each scan, plus the
+    per-step relative registrations they were composed from."""
+
+    poses: RigidTransform  # (T, D, D) / (T, D)
+    relative: RigidTransform  # (T-1, ...) scan_{t} -> scan_{t+1} frame
+    registration: ConvergenceState  # per-pair costs / iteration counts
+
+
+def compose_chain(relative: RigidTransform, initial: RigidTransform) -> RigidTransform:
+    """Prefix-compose relative poses into absolute ones, log-depth.
+
+    ``poses[0] = initial``; ``poses[t+1] = poses[t] ∘ inv(relative[t])`` —
+    registering scan t (source) onto scan t+1 (target) yields the transform
+    taking frame-t points into frame t+1, so the world pose of frame t+1
+    advances by its inverse.
+    """
+    rel_inv = geometry.inverse(relative)
+
+    def combine(a, b):
+        # Associative pairwise compose on (rotation, translation) pytrees:
+        # elementwise a then b in the *prefix* order handled by
+        # associative_scan (left-to-right composition).
+        rot_a, trans_a = a
+        rot_b, trans_b = b
+        rot = rot_a @ rot_b
+        trans = jnp.einsum("...ij,...j->...i", rot_a, trans_b) + trans_a
+        return rot, trans
+
+    rots = jnp.concatenate([initial.rotation[None], rel_inv.rotation], axis=0)
+    trans = jnp.concatenate([initial.translation[None], rel_inv.translation], axis=0)
+    prot, ptrans = jax.lax.associative_scan(combine, (rots, trans))
+    return RigidTransform(prot, ptrans)
+
+
+def chain_scans(
+    scans: PointCloud,
+    method: Method,
+    config: DriverConfig,
+    initial: RigidTransform | None = None,
+    guesses: RigidTransform | None = None,
+) -> Trajectory:
+    """Register every consecutive pair of a ``(T, N, D)`` scan stack and
+    compose the trajectory.
+
+    ``guesses`` (batch T-1) seeds each registration — constant-velocity
+    seeding is the caller's choice; identity by default.
+    """
+    t_total = scans.points.shape[0]
+    if t_total < 2:
+        raise ValueError("need at least two scans")
+    dim = scans.dim
+    sources = PointCloud(scans.points[:-1], scans.count[:-1])
+    targets = PointCloud(scans.points[1:], scans.count[1:])
+    if guesses is None:
+        guesses = geometry.identity(dim, (t_total - 1,), dtype=scans.dtype)
+    if initial is None:
+        initial = geometry.identity(dim, dtype=scans.dtype)
+
+    result, _ = converge(method, sources, targets, guesses, config)
+    poses = compose_chain(result.transform, initial)
+    return Trajectory(poses=poses, relative=result.transform, registration=result)
+
+
+def select_keyframes(
+    trajectory: Trajectory,
+    translation_threshold: float,
+    angle_threshold: float,
+) -> np.ndarray:
+    """Indices of keyframe scans (always includes 0 and the last scan).
+
+    A new keyframe is declared when the pose has moved by more than the
+    translation OR angle threshold since the previous keyframe.
+    """
+    rots = np.asarray(trajectory.poses.rotation)
+    trans = np.asarray(trajectory.poses.translation)
+    keep = [0]
+    for t in range(1, len(trans)):
+        k = keep[-1]
+        dt = np.linalg.norm(trans[t] - trans[k])
+        rel = rots[k].T @ rots[t]
+        if rots.shape[-1] == 2:
+            ang = abs(np.arctan2(rel[1, 0], rel[0, 0]))
+        else:
+            ang = abs(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+        if dt > translation_threshold or ang > angle_threshold:
+            keep.append(t)
+    if keep[-1] != len(trans) - 1:
+        keep.append(len(trans) - 1)
+    return np.asarray(keep, dtype=np.int64)
+
+
+def relative_pose(poses: RigidTransform, i, j) -> RigidTransform:
+    """``pose_i^{-1} ∘ pose_j`` — the frame-i-relative pose of frame j."""
+    pi = RigidTransform(poses.rotation[i], poses.translation[i])
+    pj = RigidTransform(poses.rotation[j], poses.translation[j])
+    return geometry.compose(geometry.inverse(pi), pj)

@@ -1,0 +1,177 @@
+"""Pose-graph optimization back-end (Gauss-Newton over SE(2)/SE(3)).
+
+Net-new vs the reference (no trajectory/back-end at all).  Given keyframe
+poses and relative-pose constraints (odometry chains + loop closures from
+re-registering keyframe pairs), minimize
+
+    sum_e  w_e * || log( Z_e^{-1} · X_i^{-1} · X_j ) ||^2
+
+over the poses, with pose 0 gauge-fixed.  TPU-native formulation:
+
+* residuals for ALL edges evaluate in one batched pass (gathers + batched
+  matmuls + the branch-free tangent maps of :mod:`icp_tpu.lie`);
+* Jacobians come from ``jax.jacfwd`` of the tangent perturbation
+  ``X_k <- X_k · exp(delta_k)`` — no hand-derived adjoints to get wrong;
+* the normal system solves either **dense** (small graphs — one
+  ``jnp.linalg.solve`` on the MXU) or **matrix-free CG** where the
+  ``J^T J v`` operator is a jvp/vjp sandwich — no materialized Hessian, and
+  every matvec is a batched edge computation that shards over the mesh's
+  ``data`` axis (edges) exactly like a batch of registrations;
+* the GN iteration loop is a ``lax.scan`` with a fixed iteration budget
+  (compile-once, no host round-trips).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry, lie
+from .geometry import RigidTransform
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoseGraph:
+    """Nodes ``poses`` (batched transform, T nodes) + relative-pose edges.
+
+    ``edges_ij (E, 2)`` int32 node indices; ``measurements`` the measured
+    ``Z_e`` = frame-i-relative pose of frame j; ``weights (E,)`` scalar
+    information weights.
+    """
+
+    poses: RigidTransform  # (T, D, D) / (T, D)
+    edges_ij: Array  # (E, 2) int32
+    measurements: RigidTransform  # (E, D, D) / (E, D)
+    weights: Array  # (E,)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.poses.translation.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edges_ij.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.poses.dim
+
+
+def edge_residuals(graph: PoseGraph, poses: RigidTransform) -> Array:
+    """Weighted tangent residuals ``(E, dof)`` for all edges at once."""
+    i = graph.edges_ij[:, 0]
+    j = graph.edges_ij[:, 1]
+    xi = RigidTransform(poses.rotation[i], poses.translation[i])
+    xj = RigidTransform(poses.rotation[j], poses.translation[j])
+    rel = geometry.compose(geometry.inverse(xi), xj)
+    err = geometry.compose(geometry.inverse(graph.measurements), rel)
+    r = lie.log(err)
+    return r * jnp.sqrt(graph.weights)[..., None]
+
+
+def _retract(poses: RigidTransform, delta: Array, dim: int) -> RigidTransform:
+    """Right-perturb every pose: ``X_k <- X_k · exp(delta_k)``."""
+    step = lie.exp(delta, dim)
+    return geometry.compose(poses, step)
+
+
+def _residual_of_delta(graph: PoseGraph, delta_flat: Array) -> Array:
+    dim = graph.dim
+    d = lie.dof(dim)
+    delta = delta_flat.reshape(graph.num_nodes, d)
+    # Gauge fix: node 0 stays put.
+    delta = delta.at[0].set(0.0)
+    return edge_residuals(graph, _retract(graph.poses, delta, dim)).reshape(-1)
+
+
+def optimize(
+    graph: PoseGraph,
+    iterations: int = 10,
+    damping: float = 1e-6,
+    solver: str = "dense",
+    cg_iterations: int = 50,
+) -> tuple[PoseGraph, Array]:
+    """Run Gauss-Newton; returns (optimized graph, per-iteration cost).
+
+    ``solver='dense'`` builds J explicitly (fine to a few thousand DOF);
+    ``'cg'`` is matrix-free conjugate gradient on the normal equations.
+    """
+    dim = graph.dim
+    d = lie.dof(dim)
+    n_var = graph.num_nodes * d
+
+    def gn_step(poses, _):
+        g = dataclasses.replace(graph, poses=poses)
+
+        def res(delta_flat):
+            return _residual_of_delta(g, delta_flat)
+
+        zero = jnp.zeros((n_var,), dtype=poses.dtype)
+        r0 = res(zero)
+        cost = jnp.sum(r0 * r0)
+
+        if solver == "dense":
+            jac = jax.jacfwd(res)(zero)  # (E*dof, n_var)
+            jtj = jac.T @ jac
+            jtr = jac.T @ r0
+            jtj = jtj + damping * jnp.eye(n_var, dtype=poses.dtype)
+            delta = -jnp.linalg.solve(jtj, jtr)
+        elif solver == "cg":
+            _, vjp = jax.vjp(res, zero)
+
+            def jtjv(v):
+                jv = jax.jvp(res, (zero,), (v,))[1]
+                return vjp(jv)[0] + damping * v
+
+            jtr = vjp(r0)[0]
+            delta, _ = jax.scipy.sparse.linalg.cg(
+                jtjv, -jtr, maxiter=cg_iterations
+            )
+        else:
+            raise ValueError(f"unknown solver {solver!r}")
+
+        delta = delta.reshape(graph.num_nodes, d).at[0].set(0.0)
+        new_poses = _retract(poses, delta, dim)
+        return new_poses, cost
+
+    poses, costs = jax.lax.scan(gn_step, graph.poses, None, length=iterations)
+    return dataclasses.replace(graph, poses=poses), costs
+
+
+def graph_from_trajectory(
+    poses: RigidTransform,
+    odometry_measurements: RigidTransform,
+    loop_edges: Array | None = None,
+    loop_measurements: RigidTransform | None = None,
+    odometry_weight: float = 1.0,
+    loop_weight: float = 1.0,
+) -> PoseGraph:
+    """Assemble a graph: consecutive odometry edges + optional loop closures.
+
+    ``odometry_measurements`` are frame-t-relative poses of frame t+1
+    (length T-1); loop edges/measurements likewise frame-i-relative of j.
+    """
+    t = poses.translation.shape[0]
+    dtype = poses.dtype
+    ij = jnp.stack(
+        [jnp.arange(t - 1, dtype=jnp.int32), jnp.arange(1, t, dtype=jnp.int32)],
+        axis=-1,
+    )
+    meas = odometry_measurements
+    weights = jnp.full((t - 1,), odometry_weight, dtype=dtype)
+    if loop_edges is not None:
+        ij = jnp.concatenate([ij, loop_edges.astype(jnp.int32)], axis=0)
+        meas = RigidTransform(
+            jnp.concatenate([meas.rotation, loop_measurements.rotation], axis=0),
+            jnp.concatenate([meas.translation, loop_measurements.translation], axis=0),
+        )
+        weights = jnp.concatenate(
+            [weights, jnp.full((loop_edges.shape[0],), loop_weight, dtype=dtype)]
+        )
+    return PoseGraph(poses=poses, edges_ij=ij, measurements=meas, weights=weights)

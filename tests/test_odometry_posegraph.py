@@ -1,0 +1,172 @@
+"""Odometry chaining + pose-graph optimization tests (net-new subsystems)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import icp_tpu as icp
+from icp_tpu import geometry, lie, odometry, pose_graph
+
+
+def make_scan_sequence(rng, t_steps=6, n=64):
+    """A world cloud observed from a drifting 2D pose sequence."""
+    world = rng.uniform(-20, 20, (n, 2))
+    poses = []
+    x, y, th = 0.0, 0.0, 0.0
+    for _ in range(t_steps):
+        poses.append((x, y, th))
+        x += rng.uniform(0.5, 1.0)
+        y += rng.uniform(-0.2, 0.2)
+        th += rng.uniform(-0.05, 0.05)
+    scans = []
+    for (px, py, pth) in poses:
+        c, s = np.cos(pth), np.sin(pth)
+        rot = np.array([[c, -s], [s, c]])
+        # scan = world points in the sensor frame: R^T (w - t)
+        scans.append((world - [px, py]) @ rot)
+    return np.asarray(scans), poses
+
+
+def test_compose_chain_matches_serial(rng):
+    rel = geometry.RigidTransform(
+        jnp.asarray(
+            np.stack(
+                [
+                    np.array(
+                        [
+                            [np.cos(a), -np.sin(a)],
+                            [np.sin(a), np.cos(a)],
+                        ]
+                    )
+                    for a in rng.uniform(-0.3, 0.3, 5)
+                ]
+            )
+        ),
+        jnp.asarray(rng.uniform(-1, 1, (5, 2))),
+    )
+    init = icp.identity(2, dtype=np.float64)
+    chained = odometry.compose_chain(rel, init)
+
+    # serial reference
+    cur = np.eye(3)
+    serial = [cur.copy()]
+    for k in range(5):
+        m = np.eye(3)
+        r = np.asarray(rel.rotation[k])
+        t = np.asarray(rel.translation[k])
+        m[:2, :2] = r.T
+        m[:2, 2] = -r.T @ t
+        cur = cur @ m
+        serial.append(cur.copy())
+    for t_i in range(6):
+        np.testing.assert_allclose(
+            np.asarray(chained.rotation[t_i]), serial[t_i][:2, :2], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(chained.translation[t_i]), serial[t_i][:2, 2], atol=1e-12
+        )
+
+
+def test_chain_scans_recovers_trajectory(rng):
+    scans_np, poses_true = make_scan_sequence(rng)
+    scans = icp.stack([icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np])
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    traj = odometry.chain_scans(scans, method, cfg)
+    # World pose of scan t should match the generating pose (gauge: scan 0
+    # frame == world up to the pose of scan 0 which is identity).
+    for t, (px, py, pth) in enumerate(poses_true):
+        got_t = np.asarray(traj.poses.translation[t])
+        np.testing.assert_allclose(got_t, [px, py], atol=1e-3)
+        got_angle = float(geometry.rotation_angle_2d(traj.poses.rotation[t]))
+        assert abs(got_angle - pth) < 1e-3
+
+
+def test_keyframe_selection():
+    rots = np.broadcast_to(np.eye(2), (10, 2, 2))
+    trans = np.zeros((10, 2))
+    trans[:, 0] = np.arange(10) * 0.2
+    traj = odometry.Trajectory(
+        poses=geometry.RigidTransform(jnp.asarray(rots.copy()), jnp.asarray(trans)),
+        relative=None,
+        registration=None,
+    )
+    keys = odometry.select_keyframes(traj, translation_threshold=0.5, angle_threshold=0.1)
+    assert keys[0] == 0 and keys[-1] == 9
+    assert np.all(np.diff(keys) >= 1)
+    # 0.2/step with 0.5 threshold -> every 3rd scan
+    assert list(keys[:3]) == [0, 3, 6]
+
+
+@pytest.mark.parametrize("solver", ["dense", "cg"])
+def test_pose_graph_closes_loop_2d(rng, solver):
+    """Drifted odometry around a square + one loop closure -> drift removed."""
+    t_steps = 9
+    # Ground truth: walk a square, returning to start.
+    true_xi = np.zeros((t_steps - 1, 3))
+    true_xi[:, 0] = 1.0
+    true_xi[[1, 3, 5, 7], 2] = np.pi / 2
+    true_poses = [np.zeros(3)]
+
+    gt = [geometry.RigidTransform(jnp.eye(2), jnp.zeros(2))]
+    for k in range(t_steps - 1):
+        gt.append(geometry.compose(gt[-1], lie.se2_exp(jnp.asarray(true_xi[k]))))
+
+    # Odometry measurements with drift.
+    noisy = true_xi + rng.normal(0, 0.03, true_xi.shape)
+    meas = lie.se2_exp(jnp.asarray(noisy))
+    # Initial poses: integrate noisy odometry.
+    init = [geometry.RigidTransform(jnp.eye(2), jnp.zeros(2))]
+    for k in range(t_steps - 1):
+        init.append(
+            geometry.compose(init[-1], geometry.RigidTransform(meas.rotation[k], meas.translation[k]))
+        )
+    poses0 = geometry.RigidTransform(
+        jnp.stack([p.rotation for p in init]), jnp.stack([p.translation for p in init])
+    )
+
+    # Loop closure: node 8 observes node 0 at the true relative pose.
+    rel_true = geometry.compose(geometry.inverse(gt[8]), gt[0])
+    graph = pose_graph.graph_from_trajectory(
+        poses0,
+        meas,
+        loop_edges=jnp.asarray([[8, 0]]),
+        loop_measurements=geometry.RigidTransform(
+            rel_true.rotation[None], rel_true.translation[None]
+        ),
+        loop_weight=100.0,
+    )
+
+    opt, costs = pose_graph.optimize(graph, iterations=15, solver=solver)
+    assert float(costs[-1]) < float(costs[0])
+    # After optimization the loop must close: pose 8 relative to 0 matches truth.
+    rel_opt = geometry.compose(
+        geometry.inverse(
+            geometry.RigidTransform(opt.poses.rotation[8], opt.poses.translation[8])
+        ),
+        geometry.RigidTransform(opt.poses.rotation[0], opt.poses.translation[0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rel_opt.translation), np.asarray(rel_true.translation), atol=0.05
+    )
+
+
+def test_pose_graph_3d_converges(rng):
+    t_steps = 5
+    xi = rng.uniform(-0.3, 0.3, (t_steps - 1, 6))
+    meas = lie.se3_exp(jnp.asarray(xi))
+    init = [geometry.RigidTransform(jnp.eye(3), jnp.zeros(3))]
+    for k in range(t_steps - 1):
+        noisy = geometry.compose(
+            geometry.RigidTransform(meas.rotation[k], meas.translation[k]),
+            lie.se3_exp(jnp.asarray(rng.normal(0, 0.05, 6))),
+        )
+        init.append(geometry.compose(init[-1], noisy))
+    poses0 = geometry.RigidTransform(
+        jnp.stack([p.rotation for p in init]), jnp.stack([p.translation for p in init])
+    )
+    graph = pose_graph.graph_from_trajectory(poses0, meas)
+    opt, costs = pose_graph.optimize(graph, iterations=10, solver="dense")
+    assert float(costs[-1]) < 1e-12  # odometry-only graph is exactly satisfiable
