@@ -24,7 +24,16 @@ REPEATS = 5
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the batched while-loop converge takes
+    # minutes to compile over the TPU tunnel; cache it across bench runs.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     import icp_tpu as icp

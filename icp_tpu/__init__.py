@@ -28,12 +28,20 @@ from .config import Config
 from .driver import ConvergenceState, DriverConfig, converge, converge_stepped, make_converge_fn
 from .geometry import RigidTransform, apply, compose, from_angle_2d, identity, inverse
 from .io import parse_lidar_scan, read_ply, write_ply
-from .methods import from_method, is_method_registered, register_method, registered_methods
+from .methods import (
+    Matches,
+    from_method,
+    get_matches,
+    is_method_registered,
+    register_method,
+    registered_methods,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Config",
+    "Matches",
     "ConvergenceState",
     "DriverConfig",
     "PointCloud",
@@ -44,6 +52,7 @@ __all__ = [
     "converge_stepped",
     "from_angle_2d",
     "from_method",
+    "get_matches",
     "from_points",
     "identity",
     "inverse",

@@ -132,10 +132,28 @@ def cmd_register(args):
         print(f"wrote {args.out_ply}")
 
 
+def _parse_view_conf(path: str) -> dict:
+    """Parse the reference's display conf (``view.conf:1-7``: window_width/
+    height, x/y_displace, view_scale as ``key = value`` lines)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            try:
+                out[key.strip()] = float(value.strip())
+            except ValueError:
+                pass
+    return out
+
+
 def cmd_view(args):
     import icp_tpu as icp
     from .vis import render_registration
 
+    view_conf = _parse_view_conf(args.view_conf) if args.view_conf else {}
     config = _parse_config(args.config)
     source = icp.parse_lidar_scan(args.src)
     target = icp.parse_lidar_scan(args.dst)
@@ -158,6 +176,7 @@ def cmd_view(args):
         every=args.every,
         light_mode=args.basic_mode,
         log=log,
+        view_conf=view_conf,
     )
     print(f"wrote {len(range(0, args.iterations + 1, args.every))} frames to {args.out}")
     print(f"final cost {dumps[-1].cost:.6f}")
@@ -280,6 +299,9 @@ def main(argv=None):
     p_view.add_argument("-m", "--method", default="vanilla")
     p_view.add_argument("-c", "--config", nargs="*")
     p_view.add_argument("--basic-mode", action="store_true", help="light background")
+    p_view.add_argument(
+        "--view-conf", help="display conf file (view.conf format: window size, scale)"
+    )
     p_view.add_argument("-l", "--log", action="store_true", help="per-iteration debug dump")
     p_view.add_argument("--out", default="view_frames")
     p_view.add_argument("--iterations", type=int, default=20)

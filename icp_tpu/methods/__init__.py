@@ -7,8 +7,10 @@ Registered methods mirror ``lib/icp/icp.cpp:16-27``:
 
 from . import feature_aware, trimmed, trimmed_3d, vanilla, vanilla_3d
 from .base import (
+    Matches,
     Method,
     from_method,
+    get_matches,
     is_method_registered,
     register_method,
     registered_methods,
@@ -21,7 +23,9 @@ register_method("vanilla", 3, vanilla_3d.create)
 register_method("trimmed", 3, trimmed_3d.create)
 
 __all__ = [
+    "Matches",
     "Method",
+    "get_matches",
     "from_method",
     "is_method_registered",
     "register_method",

@@ -46,6 +46,34 @@ class Method:
     cost: Callable[[Any], Array]
 
 
+@dataclasses.dataclass(frozen=True)
+class Matches:
+    """Per-source-point correspondences — ``ICP::get_matches``'s
+    ``Match{point, pair, cost}`` (``icp.h:61-70,157-169``) in SoA form."""
+
+    source_idx: Any  # (..., N) int32 — the implicit identity ``point`` index
+    target_idx: Any  # (..., N) int32 — ``pair``
+    cost: Any  # (..., N)
+
+
+def get_matches(state) -> Matches | None:
+    """Extract the current match set from a method state.
+
+    Returns ``None`` for states that do not track matches — the 3D family,
+    whose base-class ``matches`` the reference never fills (the
+    ``vanilla_3d.cpp`` quirk); parity preserved.
+    """
+    idx = getattr(state, "match_idx", None)
+    cost = getattr(state, "match_cost", None)
+    if idx is None or cost is None:
+        return None
+    import jax.numpy as jnp
+
+    n = idx.shape[-1]
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), idx.shape)
+    return Matches(source_idx=src, target_idx=idx, cost=cost)
+
+
 MethodFactory = Callable[[Config], Method]
 
 _REGISTRY: dict[tuple[str, int], MethodFactory] = {}

@@ -95,6 +95,7 @@ def render_registration(
     every: int = 1,
     light_mode: bool = False,
     log=None,
+    view_conf: dict | None = None,
 ) -> list[FrameDump]:
     """Step the method one iteration per frame, writing ``frame_XXXX.png``.
 
@@ -111,10 +112,27 @@ def render_registration(
     step_fn = jax.jit(method.iterate)
     cost_fn = jax.jit(method.cost)
 
+    # Display conf (reference ``view.conf``): window size -> figure size at
+    # 100 dpi; view_scale -> fixed half-extent of the axes in scan units.
+    view_conf = view_conf or {}
+    figsize = (
+        view_conf.get("window_width", 800) / 100.0,
+        view_conf.get("window_height", 800) / 100.0,
+    )
+    half_extent = None
+    if "view_scale" in view_conf and "window_width" in view_conf:
+        # SDL mapping: pixel = view_scale * coord + displace; the visible
+        # half-extent in scan units is (window/2) / view_scale.
+        half_extent = (
+            view_conf["window_width"] / 2.0 / view_conf["view_scale"],
+            view_conf.get("window_height", view_conf["window_width"]) / 2.0
+            / view_conf["view_scale"],
+        )
+
     dumps: list[FrameDump] = []
     for it in range(iterations + 1):
         if it % every == 0:
-            fig, ax = plt.subplots(figsize=(8, 8), facecolor="white" if light_mode else "black")
+            fig, ax = plt.subplots(figsize=figsize, facecolor="white" if light_mode else "black")
             render_frame(
                 ax,
                 source,
@@ -124,6 +142,9 @@ def render_registration(
                 getattr(state, "match_cost", None),
                 light_mode=light_mode,
             )
+            if half_extent is not None:
+                ax.set_xlim(-half_extent[0], half_extent[0])
+                ax.set_ylim(-half_extent[1], half_extent[1])
             ax.set_title(f"iteration {it}", color="black" if light_mode else "white")
             fig.savefig(os.path.join(out_dir, f"frame_{it:04d}.png"), dpi=100)
             plt.close(fig)
