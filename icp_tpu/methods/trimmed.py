@@ -37,7 +37,7 @@ from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform
 from ..ops.nn import nearest_neighbors
-from ..ops.rigid_fit import fit_rigid
+from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 
 Array = jax.Array
@@ -118,8 +118,7 @@ def create(config: Config) -> Method:
         a_current = geometry.apply(state.transform, src.points)
         idx, sq = _compute_matches(a_current, tgt, src.mask)
         weights = trim_weights(sq, src.count, overlap_rate, src.dtype)
-        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
-        step = fit_rigid(a_current, matched_b, weights)
+        step = fit_rigid_indexed(a_current, tgt.points, idx, weights)
         return dataclasses.replace(
             state,
             transform=geometry.compose(step, state.transform),

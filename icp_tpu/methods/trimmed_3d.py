@@ -31,7 +31,7 @@ from .. import geometry
 from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform
-from ..ops.rigid_fit import fit_rigid
+from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 from .vanilla_3d import Vanilla3dState, _mean_distance, _neighbor_distances
 
@@ -54,8 +54,7 @@ def create(config: Config) -> Method:
         dist, idx = _neighbor_distances(state.c, tgt)
         gate = (dist <= max_distance) & src.mask
         weights = gate.astype(src.dtype)
-        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
-        step = fit_rigid(state.c, matched_b, weights, solver=solver)
+        step = fit_rigid_indexed(state.c, tgt.points, idx, weights, solver=solver)
         c_new = geometry.apply(step, state.c)
         return dataclasses.replace(
             state,

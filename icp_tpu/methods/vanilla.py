@@ -36,7 +36,7 @@ from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform
 from ..ops.nn import nearest_neighbors
-from ..ops.rigid_fit import fit_rigid
+from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 
 Array = jax.Array
@@ -70,11 +70,8 @@ def create(config: Config) -> Method:
     def iterate(state: VanillaState) -> VanillaState:
         src, tgt = state.source, state.target
         a_current = geometry.apply(state.transform, src.points)
-        matched_b = jnp.take_along_axis(
-            tgt.points, state.match_idx[..., None], axis=-2
-        )
         weights = src.mask.astype(src.dtype)
-        step = fit_rigid(a_current, matched_b, weights)
+        step = fit_rigid_indexed(a_current, tgt.points, state.match_idx, weights)
         return dataclasses.replace(
             state, transform=geometry.compose(step, state.transform)
         )

@@ -32,7 +32,7 @@ from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform
 from ..ops.nn import nearest_neighbors
-from ..ops.rigid_fit import fit_rigid
+from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 
 Array = jax.Array
@@ -75,9 +75,8 @@ def create(config: Config) -> Method:
     def iterate(state: Vanilla3dState) -> Vanilla3dState:
         src, tgt = state.source, state.target
         dist, idx = _neighbor_distances(state.c, tgt)
-        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
         weights = src.mask.astype(src.dtype)
-        step = fit_rigid(state.c, matched_b, weights, solver=solver)
+        step = fit_rigid_indexed(state.c, tgt.points, idx, weights, solver=solver)
         c_new = geometry.apply(step, state.c)
         return dataclasses.replace(
             state,

