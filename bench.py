@@ -65,13 +65,13 @@ def main():
 
     # Warmup / compile.
     result, _ = fn(a, b, guess)
-    jax.block_until_ready(result)
-    total_iters = int(np.sum(np.asarray(result.iteration_count)))
+    float(jnp.sum(result.cost))  # force full execution (block_until_ready
+    # can return early over remote-tunnel backends)
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
         result, _ = fn(a, b, guess)
-    jax.block_until_ready(result)
+        float(jnp.sum(result.cost))  # materialize every invocation
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * REPEATS / dt
@@ -85,8 +85,6 @@ def main():
             }
         )
     )
-    # Secondary detail on stderr-free extra lines are not allowed; keep one line.
-    del total_iters
 
 
 if __name__ == "__main__":

@@ -124,6 +124,69 @@ def select_keyframes(
     return np.asarray(keep, dtype=np.int64)
 
 
+def stream_odometry(
+    scans,
+    method: Method,
+    config: DriverConfig,
+    translation_threshold: float = 0.5,
+    angle_threshold: float = 0.1,
+    metrics=None,
+):
+    """Online odometry: register each incoming scan against the current
+    keyframe, yielding ``(pose, is_keyframe, ConvergenceState)`` per scan.
+
+    The serving-mode counterpart of :func:`chain_scans` (which is the
+    offline/batch formulation): scans arrive one at a time (an iterable of
+    :class:`PointCloud`), each is registered keyframe->scan with the jitted
+    converge (one compilation per cloud capacity), and the keyframe advances
+    when the pose moves beyond the thresholds — bounding drift accumulation
+    the way keyframe selection does for the pose graph.
+
+    ``metrics``: optional :class:`icp_tpu.utils.metrics.MetricsLogger`.
+    """
+    from .driver import make_converge_fn
+
+    fns: dict[tuple, object] = {}
+    keyframe = None
+    kf_pose = None
+    pose = None
+    for t, scan in enumerate(scans):
+        if keyframe is None:
+            keyframe = scan
+            dim = scan.dim
+            kf_pose = geometry.identity(dim, dtype=scan.dtype)
+            pose = kf_pose
+            yield pose, True, None
+            continue
+        key = (scan.capacity, keyframe.capacity)
+        if key not in fns:
+            fns[key] = make_converge_fn(method, config)
+        result, _ = fns[key](keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
+        # keyframe->scan registration transform T: pose advances by inv(T).
+        pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
+        delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))
+        delta_a = abs(
+            float(
+                geometry.rotation_angle(
+                    pose.rotation @ jnp.swapaxes(kf_pose.rotation, -1, -2)
+                )
+            )
+        )
+        is_kf = delta_t > translation_threshold or delta_a > angle_threshold
+        if metrics is not None:
+            metrics.log(
+                "odometry_step",
+                scan=t,
+                iterations=int(result.iteration_count),
+                cost=float(result.cost),
+                keyframe=is_kf,
+            )
+        if is_kf:
+            keyframe = scan
+            kf_pose = pose
+        yield pose, is_kf, result
+
+
 def relative_pose(poses: RigidTransform, i, j) -> RigidTransform:
     """``pose_i^{-1} ∘ pose_j`` — the frame-i-relative pose of frame j."""
     pi = RigidTransform(poses.rotation[i], poses.translation[i])

@@ -170,3 +170,27 @@ def test_pose_graph_3d_converges(rng):
     graph = pose_graph.graph_from_trajectory(poses0, meas)
     opt, costs = pose_graph.optimize(graph, iterations=10, solver="dense")
     assert float(costs[-1]) < 1e-12  # odometry-only graph is exactly satisfiable
+
+
+def test_stream_odometry_matches_batch(rng):
+    """Online streaming odometry recovers the same trajectory as the
+    generating poses (keyframe threshold high -> every scan vs scan 0... low
+    -> keyframes advance)."""
+    scans_np, poses_true = make_scan_sequence(rng)
+    scans = [icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np]
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    out = list(
+        odometry.stream_odometry(
+            scans, method, cfg, translation_threshold=0.1, angle_threshold=0.05
+        )
+    )
+    assert len(out) == len(scans)
+    assert out[0][1] is True  # first scan is always a keyframe
+    for t, (px, py, pth) in enumerate(poses_true):
+        pose, is_kf, result = out[t]
+        np.testing.assert_allclose(
+            np.asarray(pose.translation), [px, py], atol=5e-3
+        )
