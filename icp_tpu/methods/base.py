@@ -49,11 +49,15 @@ class Method:
 @dataclasses.dataclass(frozen=True)
 class Matches:
     """Per-source-point correspondences — ``ICP::get_matches``'s
-    ``Match{point, pair, cost}`` (``icp.h:61-70,157-169``) in SoA form."""
+    ``Match{point, pair, cost}`` (``icp.h:61-70,157-169``) in SoA form.
+
+    ``valid`` marks real source points; padded slots carry arbitrary
+    indices and +inf/zero costs and must be ignored."""
 
     source_idx: Any  # (..., N) int32 — the implicit identity ``point`` index
     target_idx: Any  # (..., N) int32 — ``pair``
     cost: Any  # (..., N)
+    valid: Any  # (..., N) bool
 
 
 def get_matches(state) -> Matches | None:
@@ -71,7 +75,7 @@ def get_matches(state) -> Matches | None:
 
     n = idx.shape[-1]
     src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), idx.shape)
-    return Matches(source_idx=src, target_idx=idx, cost=cost)
+    return Matches(source_idx=src, target_idx=idx, cost=cost, valid=state.source.mask)
 
 
 MethodFactory = Callable[[Config], Method]
