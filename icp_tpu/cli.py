@@ -84,6 +84,17 @@ def _add_driver_flags(p):
     p.add_argument("--relative-cost-tolerance", type=float, default=None)
 
 
+def _load_scan(path: str):
+    """Load a 2D scan by extension: ``.conf`` polar sweep, else CSV."""
+    import icp_tpu as icp
+
+    if path.endswith(".conf"):
+        from .io import parse_sweep
+
+        return parse_sweep(path)
+    return icp.parse_lidar_scan(path)
+
+
 def cmd_register(args):
     import icp_tpu as icp
 
@@ -93,8 +104,8 @@ def cmd_register(args):
         target = icp.from_points(icp.read_ply(args.dst), dtype=np.float32)
         dim = 3
     else:
-        source = icp.parse_lidar_scan(args.src)
-        target = icp.parse_lidar_scan(args.dst)
+        source = _load_scan(args.src)
+        target = _load_scan(args.dst)
         dim = 2
     method = _make_method(args.method, dim, config)
     cfg = _driver_config(args)
@@ -155,8 +166,8 @@ def cmd_view(args):
 
     view_conf = _parse_view_conf(args.view_conf) if args.view_conf else {}
     config = _parse_config(args.config)
-    source = icp.parse_lidar_scan(args.src)
-    target = icp.parse_lidar_scan(args.dst)
+    source = _load_scan(args.src)
+    target = _load_scan(args.dst)
     method = _make_method(args.method, 2, config)
 
     def log(dump):
@@ -214,6 +225,27 @@ def cmd_bench(args):
                 iters.append(int(result.iteration_count))
             dt = time.perf_counter() - t0
 
+            batched_line = ""
+            if args.batch:
+                import jax.numpy as jnp
+                import jax.tree as jtree
+
+                bsz = args.batch
+                ab = jtree.map(lambda x: jnp.broadcast_to(x, (bsz,) + x.shape), src)
+                bb = jtree.map(lambda x: jnp.broadcast_to(x, (bsz,) + x.shape), dst)
+                gb = icp.identity(2, (bsz,))
+                rb, _ = fn(ab, bb, gb)
+                float(jnp.sum(rb.cost))  # compile+materialize
+                t0b = time.perf_counter()
+                for _ in range(3):
+                    rb, _ = fn(ab, bb, gb)
+                    float(jnp.sum(rb.cost))
+                dtb = time.perf_counter() - t0b
+                batched_line = (
+                    f"* Batched throughput ({bsz} pairs/invocation): "
+                    f"{bsz * 3 / dtb:.1f} pairs/s"
+                )
+
             costs_sorted, iters_sorted = sorted(costs), sorted(iters)
             print(f"ICP method: {name}, scan {scan_id}")
             print(f"* Number of invocations: {args.invocations}")
@@ -227,6 +259,8 @@ def cmd_bench(args):
             print(f"* Mean iterations: {np.mean(iters):.4g}")
             print(f"* Average time per invocation: {dt / args.invocations:.6g}s")
             print(f"* Average time per iteration: {dt / max(sum(iters), 1):.6g}s")
+            if batched_line:
+                print(batched_line)
 
 
 def cmd_odometry(args):
@@ -235,7 +269,7 @@ def cmd_odometry(args):
     import icp_tpu as icp
     from . import odometry
 
-    clouds = [icp.parse_lidar_scan(p) for p in args.scans]
+    clouds = [_load_scan(p) for p in args.scans]
     cap = max(c.capacity for c in clouds)
     scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
     method = _make_method(args.method, 2, _parse_config(args.config))
@@ -314,6 +348,10 @@ def main(argv=None):
     p_bench.add_argument("--invocations", type=int, default=10)
     p_bench.add_argument("--data-dir", default="/root/reference/ex_data")
     p_bench.add_argument("-c", "--config", nargs="*")
+    p_bench.add_argument(
+        "--batch", type=int, default=0,
+        help="also measure batched throughput at this many pairs/invocation",
+    )
     p_bench.set_defaults(fn=cmd_bench)
 
     p_odo = sub.add_parser("odometry", help="chain a scan sequence into a trajectory")
