@@ -41,7 +41,7 @@ from .. import geometry
 from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform, masked_centroid
-from ..ops.rigid_fit import fit_rigid
+from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 from .trimmed import trim_weights
 
@@ -164,8 +164,7 @@ def create(config: Config) -> Method:
         a_current = geometry.apply(state.transform, src.points)
         idx, cost = _compute_matches(a_current, state.feature_dists, src, tgt)
         weights = trim_weights(cost, src.count, overlap_rate, src.dtype)
-        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
-        step = fit_rigid(a_current, matched_b, weights)
+        step = fit_rigid_indexed(a_current, tgt.points, idx, weights)
         return dataclasses.replace(
             state,
             transform=geometry.compose(step, state.transform),
