@@ -276,14 +276,34 @@ def cmd_odometry(args):
     cfg = _driver_config(args)
 
     traj = odometry.chain_scans(scans, method, cfg)
-    if args.optimize:
+    if args.optimize or args.loop_radius:
+        from . import geometry as _geo
         from . import pose_graph
 
+        loop_edges = loop_meas = None
+        if args.loop_radius:
+            cands = pose_graph.find_loop_candidates(
+                traj.poses, radius=args.loop_radius,
+                min_separation=args.loop_min_separation,
+            )
+            if len(np.asarray(cands)):
+                loop_edges, loop_meas, lc_costs = pose_graph.register_loop_closures(
+                    scans, traj.poses, cands, method, cfg
+                )
+                print(
+                    f"loop closures: {len(np.asarray(loop_edges))} accepted "
+                    f"(costs {np.round(np.asarray(lc_costs), 4).tolist()})",
+                    file=sys.stderr,
+                )
         # Edge measurements are frame-t-relative poses of frame t+1 — the
         # INVERSE of the registration transform (see odometry.compose_chain).
-        from . import geometry as _geo
-
-        graph = pose_graph.graph_from_trajectory(traj.poses, _geo.inverse(traj.relative))
+        graph = pose_graph.graph_from_trajectory(
+            traj.poses,
+            _geo.inverse(traj.relative),
+            loop_edges=loop_edges,
+            loop_measurements=loop_meas,
+            loop_weight=args.loop_weight,
+        )
         graph, costs = pose_graph.optimize(graph, iterations=args.gn_iterations)
         poses = graph.poses
         print(f"pose-graph cost: {float(costs[0]):.6g} -> {float(costs[-1]):.6g}",
@@ -360,6 +380,12 @@ def main(argv=None):
     p_odo.add_argument("-c", "--config", nargs="*")
     p_odo.add_argument("--optimize", action="store_true", help="pose-graph refine")
     p_odo.add_argument("--gn-iterations", type=int, default=10)
+    p_odo.add_argument(
+        "--loop-radius", type=float, default=0.0,
+        help="detect + register loop closures within this pose radius",
+    )
+    p_odo.add_argument("--loop-min-separation", type=int, default=10)
+    p_odo.add_argument("--loop-weight", type=float, default=10.0)
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)
 

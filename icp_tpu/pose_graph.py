@@ -144,6 +144,82 @@ def optimize(
     return dataclasses.replace(graph, poses=poses), costs
 
 
+def find_loop_candidates(
+    poses: RigidTransform,
+    radius: float,
+    min_separation: int = 10,
+    max_candidates: int | None = None,
+) -> Array:
+    """Candidate loop-closure pairs ``(K, 2)``: trajectory indices whose
+    poses are within ``radius`` but at least ``min_separation`` steps apart.
+
+    Host-side (feeds graph construction, not compiled compute).  Pairs are
+    ordered by ascending distance; ``max_candidates`` truncates.
+    """
+    import numpy as np
+
+    t = np.asarray(poses.translation)
+    n = len(t)
+    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    sep = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+    ii, jj = np.nonzero((d < radius) & (sep >= min_separation))
+    keep = ii < jj  # one direction per pair
+    ii, jj = ii[keep], jj[keep]
+    order = np.argsort(d[ii, jj], kind="stable")
+    ii, jj = ii[order], jj[order]
+    if max_candidates is not None:
+        ii, jj = ii[:max_candidates], jj[:max_candidates]
+    return jnp.asarray(np.stack([ii, jj], axis=-1), dtype=jnp.int32)
+
+
+def register_loop_closures(
+    clouds,
+    poses: RigidTransform,
+    candidates: Array,
+    method,
+    driver_config,
+    max_cost: float | None = None,
+):
+    """Register every candidate pair (batched) and return accepted
+    ``(edges (K', 2), measurements, costs)``.
+
+    ``clouds`` is the batched keyframe cloud stack ``(T, N, D)`` aligned with
+    ``poses``.  The relative pose seed is derived from the current poses
+    (``X_i^{-1} X_j``); the registration refines it into the loop
+    measurement.  ``max_cost`` drops closures whose converged cost exceeds
+    it (bad closures corrupt graphs — standard practice).
+    """
+    from . import cloud as cloud_mod
+    from .driver import converge
+
+    import numpy as np
+
+    cand = np.asarray(candidates)
+    if cand.size == 0:
+        return candidates, None, None
+    i, j = cand[:, 0], cand[:, 1]
+    src = cloud_mod.PointCloud(clouds.points[j], clouds.count[j])
+    tgt = cloud_mod.PointCloud(clouds.points[i], clouds.count[i])
+    # Seed: the transform taking frame-j points into frame i under current
+    # estimates is X_i^{-1} X_j.
+    xi = RigidTransform(poses.rotation[i], poses.translation[i])
+    xj = RigidTransform(poses.rotation[j], poses.translation[j])
+    seed = geometry.compose(geometry.inverse(xi), xj)
+
+    result, _ = converge(method, src, tgt, seed, driver_config)
+    # Measurement convention of :class:`PoseGraph`: Z_e = frame-i pose of
+    # frame j. Registering j->i yields exactly that transform.
+    meas = result.transform
+    if max_cost is not None:
+        import numpy as np
+
+        good = np.asarray(result.cost) <= max_cost
+        cand = cand[good]
+        meas = RigidTransform(meas.rotation[good], meas.translation[good])
+        return jnp.asarray(cand, dtype=jnp.int32), meas, result.cost[good]
+    return candidates, meas, result.cost
+
+
 def graph_from_trajectory(
     poses: RigidTransform,
     odometry_measurements: RigidTransform,

@@ -194,3 +194,64 @@ def test_stream_odometry_matches_batch(rng):
         np.testing.assert_allclose(
             np.asarray(pose.translation), [px, py], atol=5e-3
         )
+
+
+def test_slam_pipeline_end_to_end(rng):
+    """Full SLAM loop: scans -> odometry -> loop detection -> closure
+    registration -> pose-graph optimization reduces end-pose error."""
+    # World and a circular trajectory returning to the start: 24 steps of
+    # 15-degree heading change (identity-guess ICP handles such turns; sharp
+    # 90-degree corners would need odometry seeding).
+    import math
+
+    world = rng.uniform(-30, 30, (128, 2))
+    t_steps, radius = 25, 4.0
+    poses_true = []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        poses_true.append(
+            (radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2)
+        )
+
+    scans = []
+    for (px, py, pth) in poses_true:
+        c, s = np.cos(pth), np.sin(pth)
+        rot = np.array([[c, -s], [s, c]])
+        pts = (world - [px, py]) @ rot
+        pts += rng.normal(0, 0.02, pts.shape)  # sensor noise -> drift
+        scans.append(pts)
+    t_total = len(scans)
+    stack = icp.stack([icp.from_points(s, capacity=128, dtype=np.float64) for s in scans])
+
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    traj = odometry.chain_scans(stack, method, cfg)
+
+    # Loop detection: first and last poses are near but far apart in time.
+    cands = pose_graph.find_loop_candidates(
+        traj.poses, radius=1.5, min_separation=t_total - 2
+    )
+    assert [0, t_total - 1] in np.asarray(cands).tolist()
+    cands = jnp.asarray([[0, t_total - 1]], dtype=jnp.int32)
+
+    edges, meas, costs = pose_graph.register_loop_closures(
+        stack, traj.poses, cands, method, cfg
+    )
+    graph = pose_graph.graph_from_trajectory(
+        traj.poses,
+        geometry.inverse(traj.relative),
+        loop_edges=edges,
+        loop_measurements=meas,
+        loop_weight=10.0,
+    )
+    opt, gcost = pose_graph.optimize(graph, iterations=10)
+    assert float(gcost[-1]) < float(gcost[0]) or float(gcost[-1]) < 1e-9
+
+    # Gauge: trajectory lives in the scan-0 frame, and the true loop closes
+    # exactly (pose 24 == pose 0), so the true end pose is the identity.
+    # Loop closure must shrink the odometry drift substantially.
+    def end_err(poses):
+        return float(np.linalg.norm(np.asarray(poses.translation[-1])))
+
+    assert end_err(traj.poses) > 0.1  # noise accumulated real drift
+    assert end_err(opt.poses) < 0.2 * end_err(traj.poses)
