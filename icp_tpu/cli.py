@@ -269,9 +269,15 @@ def cmd_odometry(args):
     import icp_tpu as icp
     from . import odometry
 
-    clouds = [_load_scan(p) for p in args.scans]
-    cap = max(c.capacity for c in clouds)
-    scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
+    if all(not p.endswith(".conf") for p in args.scans):
+        # Bulk path: the native threaded loader parses all CSVs in parallel.
+        from .io import parse_lidar_scan_batch
+
+        scans = parse_lidar_scan_batch(args.scans)
+    else:
+        clouds = [_load_scan(p) for p in args.scans]
+        cap = max(c.capacity for c in clouds)
+        scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
     method = _make_method(args.method, 2, _parse_config(args.config))
     cfg = _driver_config(args)
 

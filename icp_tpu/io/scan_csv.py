@@ -49,3 +49,46 @@ def parse_lidar_scan(
     """Parse a scan CSV into a padded :class:`PointCloud`."""
     pts = parse_lidar_scan_array(path)
     return from_points(pts, capacity=capacity, dtype=dtype)
+
+
+def parse_lidar_scan_batch(
+    paths, capacity: int | None = None, dtype=np.float32
+) -> PointCloud:
+    """Load many scan CSVs into one batched padded cloud ``(T, N, 2)``.
+
+    Uses the native threaded loader (``native/icptpu_parse_scan_batch``)
+    when available — file IO and float parsing parallelize across cores —
+    with a sequential Python fallback.  ``capacity`` defaults to the largest
+    scan rounded up to the sublane multiple.
+    """
+    import jax.numpy as jnp
+
+    from ..cloud import round_up
+    from ..utils.native import native_lib
+
+    paths = list(paths)
+    if capacity is None:
+        sizes = [len(parse_lidar_scan_array(p)) for p in paths]
+        capacity = max(round_up(max(sizes), 8), 8)
+        lib = None  # sizes already parsed; reuse below via fallback path
+    else:
+        lib = native_lib()
+
+    if lib is not None:
+        got = lib.parse_scan_batch(paths, capacity)
+        if got is not None:
+            pts, counts = got
+            return PointCloud(
+                jnp.asarray(pts.astype(dtype)),
+                jnp.asarray(counts, dtype=jnp.int32),
+            )
+    arrays = [parse_lidar_scan_array(p) for p in paths]
+    n = len(arrays)
+    out = np.zeros((n, capacity, 2), dtype=dtype)
+    counts = np.zeros(n, dtype=np.int32)
+    for i, a in enumerate(arrays):
+        if len(a) > capacity:
+            raise ValueError(f"{paths[i]}: {len(a)} points exceed capacity {capacity}")
+        out[i, : len(a)] = a
+        counts[i] = len(a)
+    return PointCloud(jnp.asarray(out), jnp.asarray(counts))

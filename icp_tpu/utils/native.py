@@ -33,7 +33,7 @@ def build_native(verbose: bool = False) -> bool:
         return False
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        src, "-o", _lib_path(),
+        "-pthread", src, "-o", _lib_path(),
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -53,6 +53,11 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_double),
             ctypes.c_longlong,
         ]
+        lib.icptpu_parse_scan_batch.restype = ctypes.c_int
+        lib.icptpu_parse_scan_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_longlong),
+        ]
         lib.icptpu_kdtree_nn.restype = None
         lib.icptpu_kdtree_nn.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,  # targets, m
@@ -71,6 +76,24 @@ class NativeLib:
         if n < 0:
             return None
         return buf[:n].copy()
+
+    def parse_scan_batch(self, paths: list[str], capacity: int):
+        """Threaded bulk CSV load -> ((n, capacity, 2) f64, counts (n,) i64).
+
+        Returns None if any file failed (fall back to the Python loader for
+        a precise error)."""
+        blob = b"\0".join(p.encode() for p in paths) + b"\0"
+        n = len(paths)
+        out = np.zeros((n, capacity, 2), dtype=np.float64)
+        counts = np.empty(n, dtype=np.int64)
+        rc = self._lib.icptpu_parse_scan_batch(
+            blob, n, capacity,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        )
+        if rc != 0:
+            return None
+        return out, counts
 
     def kdtree_nn(self, targets: np.ndarray, queries: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Exact 1-NN host oracle: returns (indices, squared distances)."""

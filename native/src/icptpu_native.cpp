@@ -14,6 +14,7 @@
 // reproduced in the Python layer where its semantics live).
 
 #include <algorithm>
+#include <atomic>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -22,6 +23,7 @@
 #include <cstring>
 #include <limits>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -50,6 +52,48 @@ long long icptpu_parse_scan_csv(const char* path, double* out, long long cap) {
     }
     std::fclose(f);
     return n <= cap ? n : cap;
+}
+
+// Threaded batch loader: parse n_paths scan CSVs (null-separated in
+// `paths`) into a front-packed, zero-padded (n_paths, capacity, 2) array
+// plus per-scan valid counts. Returns 0 on success, -1 if any file failed
+// or overflowed capacity (its count is set to -1). This is the host-side
+// data-loader for fleet ingestion: file IO and float parsing parallelize
+// across a small thread pool while the TPU computes.
+int icptpu_parse_scan_batch(const char* paths, long long n_paths,
+                            long long capacity, double* out,
+                            long long* out_counts) {
+    std::vector<const char*> files;
+    files.reserve(static_cast<size_t>(n_paths));
+    const char* p = paths;
+    for (long long i = 0; i < n_paths; ++i) {
+        files.push_back(p);
+        p += std::strlen(p) + 1;
+    }
+    std::atomic<long long> next(0);
+    std::atomic<int> status(0);
+    unsigned n_threads = std::min<unsigned>(
+        std::max(1u, std::thread::hardware_concurrency()),
+        static_cast<unsigned>(n_paths));
+    auto worker = [&]() {
+        for (;;) {
+            long long i = next.fetch_add(1);
+            if (i >= n_paths) return;
+            double* dst = out + i * capacity * 2;
+            std::memset(dst, 0, sizeof(double) * static_cast<size_t>(capacity) * 2);
+            long long n = icptpu_parse_scan_csv(files[static_cast<size_t>(i)], dst, capacity);
+            if (n < 0 || n > capacity) {
+                out_counts[i] = -1;
+                status.store(-1);
+            } else {
+                out_counts[i] = n;
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return status.load();
 }
 
 namespace {
