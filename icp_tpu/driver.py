@@ -155,6 +155,11 @@ def converge(
     """
     if config.time_limit is not None:
         raise ValueError("time_limit requires the host-stepped driver (converge_stepped)")
+    if not (source.dim == target.dim == guess.dim == method.dim):
+        raise ValueError(
+            f"dimension mismatch: source {source.dim}D, target {target.dim}D, "
+            f"guess {guess.dim}D, method '{method.name}' is {method.dim}D"
+        )
     if all(
         getattr(config, f.name) is None
         for f in dataclasses.fields(DriverConfig)

@@ -171,3 +171,18 @@ def test_converge_is_jittable():
     fn = icp.make_converge_fn(method, cfg)
     result, _ = fn(a, b, icp.identity(2, dtype=np.float64))
     assert jnp.isfinite(result.cost)
+
+
+def test_dimension_mismatch_raises():
+    a2 = icp.from_points(np.zeros((4, 2)), dtype=np.float64)
+    b3 = icp.from_points(np.zeros((4, 3)), dtype=np.float64)
+    method = icp.from_method("vanilla", 2)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        icp.converge(method, a2, b3, icp.identity(2, dtype=np.float64),
+                     icp.DriverConfig(max_iterations=1))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        icp.converge(
+            icp.from_method("vanilla", 3), a2,
+            icp.from_points(np.zeros((4, 2)), dtype=np.float64),
+            icp.identity(2, dtype=np.float64), icp.DriverConfig(max_iterations=1),
+        )
