@@ -340,6 +340,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="icp-tpu", description="TPU-native scan matching / odometry engine"
     )
+    parser.add_argument(
+        "--platform", choices=["cpu", "tpu"], default=None,
+        help="force the JAX backend (this image pins a TPU tunnel that "
+        "ignores JAX_PLATFORMS; use --platform cpu for quick host runs)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_reg = sub.add_parser("register", help="register one scan/cloud pair")
@@ -399,6 +404,10 @@ def main(argv=None):
     p_m.set_defaults(fn=cmd_methods)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
