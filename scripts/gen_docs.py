@@ -35,6 +35,8 @@ MODULES = {
     ("point_to_plane", 3): "icp_tpu.methods.point_to_plane",
     ("robust", 2): "icp_tpu.methods.robust",
     ("robust", 3): "icp_tpu.methods.robust",
+    ("gicp", 2): "icp_tpu.methods.gicp",
+    ("gicp", 3): "icp_tpu.methods.gicp",
 }
 
 

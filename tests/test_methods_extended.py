@@ -144,3 +144,53 @@ def test_robust_batched_matches_single(rng):
             np.asarray(s.transform.translation),
             atol=1e-10,
         )
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_gicp_recovers_transform(rng, dim):
+    from icp_tpu.methods.gicp import surfel_covariances, _inv_spd
+    import jax.numpy as jnp
+
+    if dim == 2:
+        t_lin = np.linspace(-5, 5, 300)
+        a_pts = np.column_stack([t_lin, np.sin(t_lin) + 0.1 * t_lin**2 * 0.1])
+        tf = geometry.from_angle_2d(np.float64(0.08), np.array([0.4, -0.2]))
+    else:
+        a_pts = surface_cloud_3d(rng)
+        r = rot_zyx(0.04, 0.06, 0.08)
+        tf = geometry.RigidTransform(jnp.asarray(r), jnp.asarray([0.4, -0.2, 0.15]))
+    b_pts = np.asarray(geometry.apply(tf, jnp.asarray(a_pts)))
+
+    method = icp.from_method("gicp", dim, icp.Config(neighbors=10))
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    result, _ = icp.converge(method, a, b, icp.identity(dim, dtype=np.float64), DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.rotation), np.asarray(tf.rotation), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(tf.translation), atol=3e-2
+    )
+
+
+def test_gicp_surfel_covariances_flatten_planes(rng):
+    from icp_tpu.methods.gicp import surfel_covariances
+    import jax.numpy as jnp
+
+    pts = np.column_stack([rng.uniform(-5, 5, (200, 2)), np.zeros(200)])
+    cov = surfel_covariances(jnp.asarray(pts), jnp.ones(200, dtype=bool), k=10, eps=1e-3)
+    cov = np.asarray(cov)
+    # Planar neighborhoods: z-direction eigenvalue ~ eps, in-plane ~ 1.
+    np.testing.assert_allclose(cov[:, 2, 2], 1e-3, atol=1e-6)
+    np.testing.assert_allclose(cov[:, 0, 0], 1.0, atol=1e-6)
+
+
+def test_gicp_inv_spd(rng):
+    from icp_tpu.methods.gicp import _inv_spd
+    import jax.numpy as jnp
+
+    for d in (2, 3):
+        a = rng.normal(size=(32, d, d))
+        spd = a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d)
+        inv = np.asarray(_inv_spd(jnp.asarray(spd)))
+        np.testing.assert_allclose(inv, np.linalg.inv(spd), rtol=1e-9)
