@@ -269,6 +269,32 @@ def cmd_odometry(args):
     import icp_tpu as icp
     from . import odometry
 
+    if args.scan_to_map:
+        from . import mapping
+
+        clouds = [_load_scan(p) for p in args.scans]
+        cap = max(c.capacity for c in clouds)
+        clouds = [icp.pad_to(c, cap) for c in clouds]
+        cfg = _driver_config(args)
+        method = _make_method(args.method, 2, _parse_config(args.config))
+        for t, (pose, is_kf, result) in enumerate(
+            mapping.scan_to_map_odometry(
+                clouds, method, cfg,
+                voxel_size=args.voxel_size, map_capacity=args.map_capacity,
+            )
+        ):
+            rec = {
+                "scan": args.scans[t],
+                "rotation": np.asarray(pose.rotation).tolist(),
+                "translation": np.asarray(pose.translation).tolist(),
+                "keyframe": bool(is_kf),
+            }
+            if result is not None:
+                rec["iterations"] = int(result.iteration_count)
+                rec["cost"] = float(result.cost)
+            print(json.dumps(rec))
+        return
+
     if all(not p.endswith(".conf") for p in args.scans):
         # Bulk path: the native threaded loader parses all CSVs in parallel.
         from .io import parse_lidar_scan_batch
@@ -397,6 +423,12 @@ def main(argv=None):
     )
     p_odo.add_argument("--loop-min-separation", type=int, default=10)
     p_odo.add_argument("--loop-weight", type=float, default=10.0)
+    p_odo.add_argument(
+        "--scan-to-map", action="store_true",
+        help="register each scan against an aggregated voxel map (less drift)",
+    )
+    p_odo.add_argument("--voxel-size", type=float, default=0.1)
+    p_odo.add_argument("--map-capacity", type=int, default=8192)
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)
 
