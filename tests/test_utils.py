@@ -1,0 +1,59 @@
+"""Utility-layer tests: profiling accounting, metrics logging, native lib."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from icp_tpu.utils.metrics import MetricsLogger, null_logger
+from icp_tpu.utils.profiling import Timing, nn_roofline, time_fn
+
+
+def test_nn_roofline_accounting():
+    r = nn_roofline(n=1024, m=1024, dim=2, batch=256)
+    assert r["flops"] == 256 * 1024 * 1024 * 7
+    assert r["bytes"] == 256 * 4 * (1024 * 2 + 1024 * 2 + 2 * 1024)
+    assert r["intensity_flops_per_byte"] > 100  # compute-bound op
+
+
+def test_time_fn_blocks():
+    import jax
+
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    t = time_fn(f, jnp.arange(1000.0), runs=3)
+    assert isinstance(t, Timing)
+    assert t.seconds > 0 and t.runs == 3 and t.per_run > 0
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    with MetricsLogger(path) as log:
+        log.log("step", iteration=1, cost=0.5)
+        log.log("step", iteration=2, cost=0.25)
+    records = [json.loads(line) for line in open(path)]
+    assert [r["iteration"] for r in records] == [1, 2]
+    assert all(r["event"] == "step" and "t" in r for r in records)
+
+
+def test_null_logger_noop():
+    log = null_logger()
+    log.log("anything", x=1)  # must not raise
+    log.close()
+
+
+def test_native_lib_loads_and_matches_python(rng, tmp_path):
+    from icp_tpu.utils.native import native_lib
+
+    lib = native_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    # kdtree oracle vs brute force
+    targets = rng.uniform(-50, 50, (500, 3))
+    queries = rng.uniform(-50, 50, (100, 3))
+    idx, d2 = lib.kdtree_nn(targets, queries)
+    brute = np.argmin(
+        ((queries[:, None, :] - targets[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    np.testing.assert_array_equal(idx, brute)
