@@ -353,6 +353,11 @@ def cmd_odometry(args):
             rec["iterations"] = int(traj.registration.iteration_count[t - 1])
             rec["cost"] = float(traj.registration.cost[t - 1])
         print(json.dumps(rec))
+    if args.render:
+        from .vis import render_trajectory
+
+        render_trajectory(args.render, poses, scans=scans)
+        print(f"wrote {args.render}", file=sys.stderr)
 
 
 def cmd_methods(args):
@@ -429,6 +434,7 @@ def main(argv=None):
     )
     p_odo.add_argument("--voxel-size", type=float, default=0.1)
     p_odo.add_argument("--map-capacity", type=int, default=8192)
+    p_odo.add_argument("--render", help="write a trajectory/map PNG to this path")
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)
 

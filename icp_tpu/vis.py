@@ -160,3 +160,44 @@ def render_registration(
         if it < iterations:
             state = step_fn(state)
     return dumps
+
+
+def render_trajectory(
+    path: str,
+    poses,
+    scans=None,
+    keyframes=None,
+    light_mode: bool = True,
+):
+    """Plot a trajectory (and optionally the world-frame map) to a PNG.
+
+    ``poses``: batched RigidTransform (T,...); ``scans``: optional batched
+    PointCloud whose keyframe points are drawn in the world frame;
+    ``keyframes``: optional index array selecting which scans to draw.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from . import geometry as _geo
+
+    t = np.asarray(poses.translation)
+    fig, ax = plt.subplots(figsize=(8, 8), facecolor="white" if light_mode else "black")
+    ax.set_facecolor("white" if light_mode else "black")
+
+    if scans is not None:
+        idxs = keyframes if keyframes is not None else range(t.shape[0])
+        for k in idxs:
+            k = int(k)
+            pose = RigidTransform(poses.rotation[k], poses.translation[k])
+            pts = np.asarray(_geo.apply(pose, scans.points[k]))[: int(scans.count[k])]
+            ax.scatter(pts[:, 0], pts[:, 1], s=1, c="#8888ff", alpha=0.4, zorder=1)
+
+    ax.plot(t[:, 0], t[:, 1], "-o", color="red", markersize=3, linewidth=1.2, zorder=3)
+    ax.scatter([t[0, 0]], [t[0, 1]], marker="s", s=60, c="green", zorder=4, label="start")
+    ax.scatter([t[-1, 0]], [t[-1, 1]], marker="*", s=120, c="orange", zorder=4, label="end")
+    ax.legend()
+    ax.set_aspect("equal")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
