@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 BASELINE_CONVERGES_PER_SEC = 63.0  # BASELINE.md (v1.1.1bench.png)
-BATCH = 256
+BATCH = 1024
 CAPACITY = 1024
 REPEATS = 5
 

@@ -57,3 +57,37 @@ def test_native_lib_loads_and_matches_python(rng, tmp_path):
         ((queries[:, None, :] - targets[None, :, :]) ** 2).sum(-1), axis=1
     )
     np.testing.assert_array_equal(idx, brute)
+
+
+def test_render_trajectory_writes_png(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from icp_tpu import geometry
+    from icp_tpu.vis import render_trajectory
+
+    t = 6
+    poses = geometry.RigidTransform(
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.asarray(rng.uniform(-5, 5, (t, 2))),
+    )
+    out = tmp_path / "traj.png"
+    render_trajectory(str(out), poses)
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_render_registration_frames(tmp_path):
+    import numpy as np
+
+    import icp_tpu as icp
+    from icp_tpu.vis import render_registration
+
+    a = icp.from_points(np.random.default_rng(0).uniform(-5, 5, (30, 2)), dtype=np.float64)
+    b = icp.from_points(np.random.default_rng(1).uniform(-5, 5, (30, 2)), dtype=np.float64)
+    method = icp.from_method("trimmed", 2)
+    dumps = render_registration(
+        method, a, b, icp.identity(2, dtype=np.float64),
+        out_dir=str(tmp_path), iterations=2, every=1,
+    )
+    assert len(dumps) == 3
+    assert (tmp_path / "frame_0000.png").exists()
+    assert (tmp_path / "frame_0002.png").exists()
