@@ -186,3 +186,28 @@ def test_dimension_mismatch_raises():
             icp.from_points(np.zeros((4, 2)), dtype=np.float64),
             icp.identity(2, dtype=np.float64), icp.DriverConfig(max_iterations=1),
         )
+
+
+def test_converge_stepped_batched_matches_compiled(rng):
+    """Host-stepped driver with a batch: per-lane freezing must equal the
+    compiled while_loop exactly."""
+    batch, cap = 3, 40
+    a_clouds, b_clouds = [], []
+    for k in range(batch):
+        a_pts = rng.uniform(-30, 30, (30 + k, 2))
+        b_pts = a_pts + rng.uniform(-2, 2, 2)
+        a_clouds.append(icp.from_points(a_pts, capacity=cap, dtype=np.float64))
+        b_clouds.append(icp.from_points(b_pts, capacity=cap, dtype=np.float64))
+    a, b = icp.stack(a_clouds), icp.stack(b_clouds)
+    guess = icp.identity(2, (batch,), dtype=np.float64)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=20, angle_tolerance=1e-4, translation_tolerance=1e-4)
+
+    r1, _ = icp.converge(method, a, b, guess, cfg)
+    r2, _ = icp.converge_stepped(method, a, b, guess, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(r1.iteration_count), np.asarray(r2.iteration_count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.transform.translation), np.asarray(r2.transform.translation), atol=1e-12
+    )

@@ -159,3 +159,25 @@ def test_big_cloud_transform_tolerance_terminates(rng):
     np.testing.assert_allclose(
         np.asarray(tf.translation), [0.5, -0.2, 0.1], atol=1e-6
     )
+
+
+def test_big_cloud_2d_matches_method(rng):
+    """big_cloud supports 2D as well (sharded working-copy iteration)."""
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    n, m = 128, 160
+    a_pts = rng.uniform(-10, 10, (n, 2))
+    ang = 0.1
+    c, s = np.cos(ang), np.sin(ang)
+    b_pts = np.concatenate(
+        [a_pts @ np.array([[c, s], [-s, c]]) + [0.5, -0.3], rng.uniform(-10, 10, (m - n, 2))]
+    )
+    tf, iters, _ = big_cloud_converge(
+        jnp.asarray(a_pts), jnp.ones(n, dtype=bool),
+        jnp.asarray(b_pts), jnp.ones(m, dtype=bool),
+        icp.identity(2, dtype=np.float64), mesh,
+        max_iterations=15, angle_tolerance=1e-6, translation_tolerance=1e-6,
+    )
+    # 2D big-cloud uses the working-copy scheme; the pose should recover the
+    # planted transform (the rotation applied was R^T due to row convention).
+    np.testing.assert_allclose(np.asarray(tf.translation), [0.5, -0.3], atol=1e-3)
