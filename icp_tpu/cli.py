@@ -112,7 +112,6 @@ def cmd_register(args):
 
     t0 = time.perf_counter()
     result, _ = icp.converge(method, source, target, icp.identity(dim), cfg)
-    result = result  # block via conversion below
     rotation = np.asarray(result.transform.rotation)
     dt = time.perf_counter() - t0
 

@@ -24,9 +24,8 @@ import dataclasses
 import numpy as np
 
 from . import geometry
-from .cloud import PointCloud, from_points, round_up
+from .cloud import PointCloud, from_points
 from .driver import DriverConfig, make_converge_fn
-from .geometry import RigidTransform
 from .methods.base import Method
 
 

@@ -79,23 +79,3 @@ def sharded_nearest_neighbors(
         return sq, idx
 
     return _kernel(query, targets, target_mask)
-
-
-def sharded_source_partials(
-    source_local: Array,
-    weights_local: Array,
-    matched_local: Array,
-) -> tuple[Array, Array, Array]:
-    """Per-shard partial sums for the sharded rigid solve.
-
-    For SOURCE-sharded big-cloud registration each device holds a slice of
-    source rows plus their matched targets and weights; the weighted Kabsch
-    reduces to three global sums (Σw, Σw·a ⊗ b cross terms, Σw·a / Σw·b) —
-    call inside ``shard_map`` and combine with ``jax.lax.psum`` over
-    ``points``.  Returns ``(sum_w, sum_wa, sum_wb)`` plus the uncentered
-    second moment is left to the caller (see ``parallel/big_cloud.py``).
-    """
-    sum_w = jnp.sum(weights_local, axis=-1)
-    sum_wa = jnp.einsum("...nd,...n->...d", source_local, weights_local)
-    sum_wb = jnp.einsum("...nd,...n->...d", matched_local, weights_local)
-    return sum_w, sum_wa, sum_wb

@@ -189,10 +189,10 @@ def register_loop_closures(
     measurement.  ``max_cost`` drops closures whose converged cost exceeds
     it (bad closures corrupt graphs — standard practice).
     """
+    import numpy as np
+
     from . import cloud as cloud_mod
     from .driver import converge
-
-    import numpy as np
 
     cand = np.asarray(candidates)
     if cand.size == 0:
@@ -211,8 +211,6 @@ def register_loop_closures(
     # frame j. Registering j->i yields exactly that transform.
     meas = result.transform
     if max_cost is not None:
-        import numpy as np
-
         good = np.asarray(result.cost) <= max_cost
         cand = cand[good]
         meas = RigidTransform(meas.rotation[good], meas.translation[good])

@@ -19,7 +19,6 @@ import numpy as np
 
 from . import geometry
 from .cloud import PointCloud
-from .driver import DriverConfig
 from .geometry import RigidTransform
 from .methods.base import Method
 
