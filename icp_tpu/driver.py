@@ -237,6 +237,17 @@ def converge_stepped(
     work, but all lanes step together; per-lane freezing matches
     :func:`converge`.
     """
+    if not (source.dim == target.dim == guess.dim == method.dim):
+        raise ValueError(
+            f"dimension mismatch: source {source.dim}D, target {target.dim}D, "
+            f"guess {guess.dim}D, method '{method.name}' is {method.dim}D"
+        )
+    if all(
+        getattr(config, f.name) is None
+        for f in dataclasses.fields(DriverConfig)
+        if f.name != "min_iterations"
+    ):
+        raise ValueError("no termination criterion set; the loop would never end")
     start = time.monotonic()
     state = method.init(source, target, guess)
     step_fn = jax.jit(method.iterate)

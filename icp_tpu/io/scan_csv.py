@@ -37,8 +37,8 @@ def parse_lidar_scan_array(path: str) -> np.ndarray:
                 y = float(y_str)
             except ValueError:
                 continue
-            if np.isinf(x) or np.isinf(y):
-                continue  # ``parse_scan.cpp:37-39``
+            if not (np.isfinite(x) and np.isfinite(y)):
+                continue  # ``parse_scan.cpp:37-39`` (+ NaN, like from_points)
             rows.append((x, y))
     return np.asarray(rows, dtype=np.float64).reshape(-1, 2)
 
@@ -67,22 +67,24 @@ def parse_lidar_scan_batch(
     from ..utils.native import native_lib
 
     paths = list(paths)
+    arrays = None
     if capacity is None:
-        sizes = [len(parse_lidar_scan_array(p)) for p in paths]
-        capacity = max(round_up(max(sizes), 8), 8)
-        lib = None  # sizes already parsed; reuse below via fallback path
+        # Sizing pass parses everything once; keep the arrays so the
+        # fallback below never parses a file twice.
+        arrays = [parse_lidar_scan_array(p) for p in paths]
+        capacity = max(round_up(max(len(a) for a in arrays), 8), 8)
     else:
         lib = native_lib()
-
-    if lib is not None:
-        got = lib.parse_scan_batch(paths, capacity)
-        if got is not None:
-            pts, counts = got
-            return PointCloud(
-                jnp.asarray(pts.astype(dtype)),
-                jnp.asarray(counts, dtype=jnp.int32),
-            )
-    arrays = [parse_lidar_scan_array(p) for p in paths]
+        if lib is not None:
+            got = lib.parse_scan_batch(paths, capacity)
+            if got is not None:
+                pts, counts = got
+                return PointCloud(
+                    jnp.asarray(pts.astype(dtype)),
+                    jnp.asarray(counts, dtype=jnp.int32),
+                )
+    if arrays is None:
+        arrays = [parse_lidar_scan_array(p) for p in paths]
     n = len(arrays)
     out = np.zeros((n, capacity, 2), dtype=dtype)
     counts = np.zeros(n, dtype=np.int32)

@@ -36,9 +36,10 @@ from .. import geometry, lie
 from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform
-from ..ops.nn import nearest_neighbors, pairwise_sq_dists
+from ..ops.nn import nearest_neighbors
 from ..ops.rigid_fit import _jacobi_eigh_sym
 from .base import Method
+from .point_to_plane import neighborhood_moments
 
 Array = jax.Array
 
@@ -53,18 +54,8 @@ def surfel_covariances(points: Array, mask: Array, k: int, eps: float) -> Array:
     ``(eps, 1, ..., 1)`` (smallest direction flattened to eps) — every point
     becomes a disc in its local tangent plane, per the GICP paper.
     """
-    d2 = pairwise_sq_dists(points, points)
-    big = jnp.asarray(jnp.finfo(points.dtype).max, dtype=points.dtype)
-    d2 = jnp.where(mask[..., None, :], d2, big)
-    _, idx = jax.lax.top_k(-d2, k)
-    neigh = jnp.take_along_axis(
-        jnp.broadcast_to(points[..., None, :, :], (*d2.shape, points.shape[-1])),
-        idx[..., None],
-        axis=-2,
-    )
-    center = neigh.mean(axis=-2, keepdims=True)
-    c = neigh - center
-    cov = jnp.einsum("...ki,...kj->...ij", c, c) / k
+    cov, sw = neighborhood_moments(points, mask, k)
+    cov = cov / sw[..., None, None]
     eigvals, eigvecs = _jacobi_eigh_sym(cov)
     # Replace eigenvalues: smallest -> eps, others -> 1.
     order = jnp.argsort(eigvals, axis=-1)
@@ -167,15 +158,26 @@ def _jacobian_rows(a_cur: Array, dim: int) -> Array:
 def create(config: Config) -> Method:
     k = int(config.get("neighbors", DEFAULT_NEIGHBORS))
     eps = float(config.get("cov_epsilon", DEFAULT_COV_EPSILON))
-    max_distance = config.get("max_distance", 0.0) or None
+    max_distance = config.get("max_distance", None)  # None = no gate; 0.0 respected
     dim = int(config.get("dim", 3))
+
+    def _mahalanobis(a_cur, rot, cov_a, cov_b, points_b, idx):
+        matched_b = jnp.take_along_axis(points_b, idx[..., None], axis=-2)
+        matched_cb = jnp.take_along_axis(cov_b, idx[..., None, None], axis=-3)
+        rca = jnp.einsum("...ij,...njk,...lk->...nil", rot, cov_a, rot)
+        w_mat = _inv_spd(matched_cb + rca)
+        resid = a_cur - matched_b
+        return jnp.einsum("...ni,...nij,...nj->...n", resid, w_mat, resid)
 
     def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> GicpState:
         cov_a = surfel_covariances(source.points, source.mask, k, eps)
         cov_b = surfel_covariances(target.points, target.mask, k, eps)
         a_cur = geometry.apply(guess, source.points)
         sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
-        cost = jnp.where(source.mask, sq, jnp.inf)
+        # Same Mahalanobis units as iterate so the driver's delta-cost
+        # criteria compare like with like from the first iteration.
+        mahal = _mahalanobis(a_cur, guess.rotation, cov_a, cov_b, target.points, idx)
+        cost = jnp.where(source.mask, mahal, jnp.inf)
         return GicpState(guess, source, target, cov_a, cov_b, idx, cost)
 
     def iterate(state: GicpState) -> GicpState:

@@ -43,14 +43,14 @@ Array = jax.Array
 DEFAULT_NORMAL_NEIGHBORS = 10
 
 
-def estimate_normals(points: Array, mask: Array, k: int) -> Array:
-    """Unit normals per point via k-NN PCA ``(..., M, D) -> (..., M, D)``.
+def neighborhood_moments(points: Array, mask: Array, k: int):
+    """Masked k-NN neighborhoods: returns ``(cov (..., M, D, D), count)``.
 
-    The normal is the smallest-eigenvalue eigenvector of the neighborhood
-    covariance.  Masked points get arbitrary (unit) normals — they are never
-    selected as correspondences.  Sign is unoriented (point-to-plane cost is
-    sign-invariant).
+    ``k`` is clamped to the cloud capacity; padded/masked slots never
+    contaminate the moments (their gathered contributions carry weight 0),
+    so clouds with fewer valid points than ``k`` stay well-defined.
     """
+    k = min(k, points.shape[-2])
     d2 = pairwise_sq_dists(points, points)
     big = jnp.asarray(jnp.finfo(points.dtype).max, dtype=points.dtype)
     d2 = jnp.where(mask[..., None, :], d2, big)
@@ -61,9 +61,25 @@ def estimate_normals(points: Array, mask: Array, k: int) -> Array:
         idx[..., None],
         axis=-2,
     )  # (..., M, k, D)
-    center = neigh.mean(axis=-2, keepdims=True)
-    centered = neigh - center
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    w = jnp.take_along_axis(
+        jnp.broadcast_to(mask[..., None, :], d2.shape), idx, axis=-1
+    ).astype(points.dtype)  # (..., M, k)
+    sw = jnp.maximum(w.sum(axis=-1), 1.0)
+    center = jnp.einsum("...kd,...k->...d", neigh, w) / sw[..., None]
+    centered = neigh - center[..., None, :]
+    cov = jnp.einsum("...ki,...kj,...k->...ij", centered, centered, w)
+    return cov, sw
+
+
+def estimate_normals(points: Array, mask: Array, k: int) -> Array:
+    """Unit normals per point via masked k-NN PCA ``(..., M, D) -> (..., M, D)``.
+
+    The normal is the smallest-eigenvalue eigenvector of the neighborhood
+    covariance.  Masked points get arbitrary (unit) normals — they are never
+    selected as correspondences.  Sign is unoriented (point-to-plane cost is
+    sign-invariant).
+    """
+    cov, _ = neighborhood_moments(points, mask, k)
     eigvals, eigvecs = _jacobi_eigh_sym(cov)
     smallest = jnp.argmin(eigvals, axis=-1)
     normal = jnp.take_along_axis(
@@ -107,7 +123,8 @@ def _solve_increment(a_cur, matched_b, matched_n, w, dim):
 
 def create(config: Config) -> Method:
     k = int(config.get("normal_neighbors", DEFAULT_NORMAL_NEIGHBORS))
-    max_distance = config.get("max_distance", 0.0) or None
+    max_distance = config.get("max_distance", None)  # None = no gate;
+    # an explicit 0.0 is respected (rejects everything), unlike a falsy-collapse
     dim = int(config.get("dim", 3))
 
     def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> PointToPlaneState:

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..cloud import round_up as _round_up
+
 Array = jax.Array
 
 TILE_N = 128  # query tile (lanes of the output block)
@@ -83,10 +85,6 @@ def _nn_kernel(
     best_min, best_idx = jax.lax.fori_loop(0, m_tiles, body, init)
     min_ref[:, :] = best_min
     idx_ref[:, :] = best_idx
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

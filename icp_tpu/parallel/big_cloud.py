@@ -37,21 +37,10 @@ from jax import shard_map
 from .. import geometry
 from ..geometry import RigidTransform
 from ..ops.nn import nearest_neighbors
-from ..ops import rigid_fit
+from ..ops.rigid_fit import _rotation_from_h
 from .mesh import POINT_AXIS
 
 Array = jax.Array
-
-
-def _rotation_from_h(h: Array, solver: str) -> Array:
-    dim = h.shape[-1]
-    if dim == 2:
-        return rigid_fit.rotation_from_covariance_2d(h)
-    if solver == "auto":
-        solver = "svd" if h.dtype == jnp.float64 else "quat"
-    if solver == "svd":
-        return rigid_fit.rotation_from_covariance_3d_svd(h)
-    return rigid_fit.rotation_from_covariance_3d_quat(h)
 
 
 def big_cloud_converge(

@@ -141,6 +141,10 @@ def optimize(
         return new_poses, cost
 
     poses, costs = jax.lax.scan(gn_step, graph.poses, None, length=iterations)
+    # costs[k] is evaluated BEFORE step k; append the post-final-step cost so
+    # costs has length iterations+1 and costs[-1] reflects the returned poses.
+    final = edge_residuals(dataclasses.replace(graph, poses=poses), poses)
+    costs = jnp.concatenate([costs, jnp.sum(final * final)[None]])
     return dataclasses.replace(graph, poses=poses), costs
 
 

@@ -120,9 +120,15 @@ def native_lib() -> NativeLib | None:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
+    src = os.path.join(os.path.dirname(path), "src", "icptpu_native.cpp")
+    stale = (
+        os.path.exists(path)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if not os.path.exists(path) or stale:
         if os.environ.get("ICP_TPU_NO_NATIVE_BUILD"):
-            return None
+            return None  # never serve a stale or missing library
         if not build_native():
             return None
     try:

@@ -43,7 +43,7 @@ long long icptpu_parse_scan_csv(const char* path, double* out, long long cap) {
         char* end2 = nullptr;
         double y = std::strtod(end, &end2);
         if (end2 == end) continue;
-        if (std::isinf(x) || std::isinf(y)) continue;
+        if (!std::isfinite(x) || !std::isfinite(y)) continue;
         if (n < cap) {
             out[2 * n] = x;
             out[2 * n + 1] = y;
