@@ -110,8 +110,16 @@ def cmd_register(args):
     method = _make_method(args.method, dim, config)
     cfg = _driver_config(args)
 
+    guess = icp.identity(dim)
+    if args.coarse:
+        if dim != 2:
+            raise SystemExit("--coarse is 2D-only (bearing-histogram rotation search)")
+        from .ops.coarse import coarse_align_2d
+
+        guess = coarse_align_2d(source, target)
+
     t0 = time.perf_counter()
-    result, _ = icp.converge(method, source, target, icp.identity(dim), cfg)
+    result, _ = icp.converge(method, source, target, guess, cfg)
     rotation = np.asarray(result.transform.rotation)
     dt = time.perf_counter() - t0
 
@@ -383,6 +391,10 @@ def main(argv=None):
     p_reg.add_argument("-m", "--method", default="vanilla")
     p_reg.add_argument("-c", "--config", nargs="*", help="method config key=value")
     p_reg.add_argument("--ply", action="store_true", help="inputs are 3D PLY clouds")
+    p_reg.add_argument(
+        "--coarse", action="store_true",
+        help="global rotation initializer (2D): bearing-histogram correlation",
+    )
     p_reg.add_argument("--json", action="store_true")
     p_reg.add_argument("--out-ply", help="write transformed source cloud")
     _add_driver_flags(p_reg)

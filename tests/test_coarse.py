@@ -1,0 +1,77 @@
+"""Coarse global 2D alignment tests — the large-rotation initializer."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import icp_tpu as icp
+from icp_tpu import geometry
+from icp_tpu.ops.coarse import bearing_histogram, coarse_align_2d
+
+
+def room_points(rng, n=400):
+    """Asymmetric structured scene (histogram needs angular structure)."""
+    walls = []
+    walls.append(np.column_stack([np.linspace(-8, 8, n // 3), np.full(n // 3, -5.0)]))
+    walls.append(np.column_stack([np.full(n // 3, 8.0), np.linspace(-5, 2, n // 3)]))
+    walls.append(
+        np.column_stack([np.linspace(-8, 2, n - 2 * (n // 3)), np.full(n - 2 * (n // 3), 6.0)])
+    )
+    pts = np.concatenate(walls)
+    return pts + rng.normal(0, 0.02, pts.shape)
+
+
+@pytest.mark.parametrize("deg", [30, 90, 150, -120])
+def test_coarse_recovers_large_rotation(rng, deg):
+    a_pts = room_points(rng)
+    angle = np.deg2rad(deg)
+    tf = geometry.from_angle_2d(np.float64(angle), np.array([2.0, -1.0]))
+    b_pts = np.asarray(geometry.apply(tf, jnp.asarray(a_pts)))
+
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    guess = coarse_align_2d(a, b)
+    got = float(geometry.rotation_angle_2d(guess.rotation))
+    # Coarse estimate within a few degrees — inside ICP's basin.
+    err = np.arctan2(np.sin(got - angle), np.cos(got - angle))
+    assert abs(err) < np.deg2rad(6), (np.rad2deg(got), deg)
+
+
+@pytest.mark.parametrize("deg", [45, 120])
+def test_coarse_plus_icp_recovers_what_icp_alone_cannot(rng, deg):
+    a_pts = room_points(rng)
+    angle = np.deg2rad(deg)
+    tf = geometry.from_angle_2d(np.float64(angle), np.array([1.0, 2.0]))
+    b_pts = np.asarray(geometry.apply(tf, jnp.asarray(a_pts)))
+
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5)
+
+    # Identity guess: fails (stuck in a wrong basin).
+    r_id, _ = icp.converge(method, a, b, icp.identity(2, dtype=np.float64), cfg)
+    err_id = abs(float(geometry.rotation_angle_2d(r_id.transform.rotation)) - angle)
+
+    # Coarse guess: succeeds.
+    guess = coarse_align_2d(a, b)
+    r_c, _ = icp.converge(method, a, b, guess, cfg)
+    got = float(geometry.rotation_angle_2d(r_c.transform.rotation))
+    err_c = abs(np.arctan2(np.sin(got - angle), np.cos(got - angle)))
+    assert err_c < 1e-3, np.rad2deg(err_c)
+    np.testing.assert_allclose(
+        np.asarray(r_c.transform.translation), [1.0, 2.0], atol=0.05
+    )
+    # Never worse than the identity-guess run; at large angles (120 deg) the
+    # identity run lands in a wrong basin and coarse is strictly better.
+    assert err_c <= err_id + 1e-12
+    if deg >= 90:
+        assert err_id > np.deg2rad(5)  # identity guess demonstrably fails here
+
+
+def test_bearing_histogram_normalized(rng):
+    pts = jnp.asarray(rng.uniform(-5, 5, (3, 64, 2)))
+    mask = jnp.ones((3, 64), dtype=bool)
+    h = bearing_histogram(pts, mask, 90)
+    np.testing.assert_allclose(np.asarray(h.sum(-1)), 1.0, atol=1e-12)
+    assert h.shape == (3, 90)
