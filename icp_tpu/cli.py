@@ -314,7 +314,7 @@ def cmd_odometry(args):
     method = _make_method(args.method, 2, _parse_config(args.config))
     cfg = _driver_config(args)
 
-    traj = odometry.chain_scans(scans, method, cfg)
+    traj = odometry.chain_scans(scans, method, cfg, coarse=args.coarse)
     if args.optimize or args.loop_radius:
         from . import geometry as _geo
         from . import pose_graph
@@ -446,6 +446,10 @@ def main(argv=None):
     p_odo.add_argument("--voxel-size", type=float, default=0.1)
     p_odo.add_argument("--map-capacity", type=int, default=8192)
     p_odo.add_argument("--render", help="write a trajectory/map PNG to this path")
+    p_odo.add_argument(
+        "--coarse", action="store_true",
+        help="seed every pair with the global 2D rotation search (sharp turns)",
+    )
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)
 

@@ -73,12 +73,16 @@ def chain_scans(
     config: DriverConfig,
     initial: RigidTransform | None = None,
     guesses: RigidTransform | None = None,
+    coarse: bool = False,
 ) -> Trajectory:
     """Register every consecutive pair of a ``(T, N, D)`` scan stack and
     compose the trajectory.
 
     ``guesses`` (batch T-1) seeds each registration — constant-velocity
-    seeding is the caller's choice; identity by default.
+    seeding is the caller's choice; identity by default.  ``coarse=True``
+    (2D) seeds every pair with the global bearing-histogram rotation search
+    (``ops/coarse.py``), making sharp turns between consecutive scans (30+
+    degrees, outside plain ICP's basin from identity) recoverable.
     """
     t_total = scans.points.shape[0]
     if t_total < 2:
@@ -86,7 +90,13 @@ def chain_scans(
     dim = scans.dim
     sources = PointCloud(scans.points[:-1], scans.count[:-1])
     targets = PointCloud(scans.points[1:], scans.count[1:])
-    if guesses is None:
+    if guesses is None and coarse:
+        if dim != 2:
+            raise ValueError("coarse seeding is 2D-only")
+        from .ops.coarse import coarse_align_2d
+
+        guesses = coarse_align_2d(sources, targets)
+    elif guesses is None:
         guesses = geometry.identity(dim, (t_total - 1,), dtype=scans.dtype)
     if initial is None:
         initial = geometry.identity(dim, dtype=scans.dtype)

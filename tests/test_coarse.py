@@ -75,3 +75,33 @@ def test_bearing_histogram_normalized(rng):
     h = bearing_histogram(pts, mask, 90)
     np.testing.assert_allclose(np.asarray(h.sum(-1)), 1.0, atol=1e-12)
     assert h.shape == (3, 90)
+
+
+def test_coarse_seeded_chain_survives_sharp_turns(rng):
+    """30-degree-per-step loop: identity seeding breaks (documented ICP basin
+    limit), coarse seeding closes the loop."""
+    import math
+
+    from icp_tpu import odometry
+
+    world = rng.uniform(-30, 30, (150, 2))
+    t_steps, radius = 13, 3.0  # 12 steps of 30 degrees
+    scans = []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        scans.append(pts + rng.normal(0, 0.02, pts.shape))
+    stack = icp.stack([icp.from_points(p, capacity=152, dtype=np.float64) for p in scans])
+
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5)
+
+    t_id = odometry.chain_scans(stack, method, cfg)
+    t_coarse = odometry.chain_scans(stack, method, cfg, coarse=True)
+
+    end_id = float(np.linalg.norm(np.asarray(t_id.poses.translation[-1])))
+    end_coarse = float(np.linalg.norm(np.asarray(t_coarse.poses.translation[-1])))
+    assert end_coarse < 0.05, end_coarse  # loop closes
+    assert end_id > 1.0, end_id  # identity seeding demonstrably fails here
