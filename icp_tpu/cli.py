@@ -112,11 +112,9 @@ def cmd_register(args):
 
     guess = icp.identity(dim)
     if args.coarse:
-        if dim != 2:
-            raise SystemExit("--coarse is 2D-only (bearing-histogram rotation search)")
-        from .ops.coarse import coarse_align_2d
+        from .ops.coarse import coarse_align_2d, coarse_align_3d
 
-        guess = coarse_align_2d(source, target)
+        guess = (coarse_align_2d if dim == 2 else coarse_align_3d)(source, target)
 
     t0 = time.perf_counter()
     result, _ = icp.converge(method, source, target, guess, cfg)
@@ -393,7 +391,8 @@ def main(argv=None):
     p_reg.add_argument("--ply", action="store_true", help="inputs are 3D PLY clouds")
     p_reg.add_argument(
         "--coarse", action="store_true",
-        help="global rotation initializer (2D): bearing-histogram correlation",
+        help="global rotation initializer: bearing-histogram correlation (2D) "
+        "or principal-axes candidates (3D)",
     )
     p_reg.add_argument("--json", action="store_true")
     p_reg.add_argument("--out-ply", help="write transformed source cloud")

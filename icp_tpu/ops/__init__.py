@@ -1,4 +1,4 @@
-from .coarse import bearing_histogram, coarse_align_2d
+from .coarse import bearing_histogram, coarse_align_2d, coarse_align_3d
 from .nn import masked_min_with_index, nearest_neighbors, pairwise_sq_dists
 from .rigid_fit import (
     cross_covariance,
@@ -12,6 +12,7 @@ from .rigid_fit import (
 __all__ = [
     "bearing_histogram",
     "coarse_align_2d",
+    "coarse_align_3d",
     "fit_rigid_indexed",
     "nearest_neighbors",
     "pairwise_sq_dists",

@@ -95,3 +95,67 @@ def coarse_align_2d(
     cb = geometry.masked_centroid(target.points, target.mask)
     t = cb - jnp.einsum("...ij,...j->...i", rot.rotation, ca)
     return RigidTransform(rot.rotation, t)
+
+
+def coarse_align_3d(
+    source: PointCloud, target: PointCloud
+) -> RigidTransform:
+    """Global SE(3) initial guess by principal-axes alignment.
+
+    Aligns the eigenbases of the two clouds' covariances: with
+    ``C_a = V_a L V_a^T`` and ``C_b = V_b M V_b^T`` (eigenvalues ascending),
+    the 4 proper rotations ``R = V_b S V_a^T`` (sign matrices ``S`` with
+    ``det(V_b S V_a^T) = +1``) are the axis-consistent candidates; each is
+    scored by its post-alignment mean NN distance (one fused batched pass)
+    and the best one wins.  Batched over leading dims.
+
+    Handles arbitrary rotations as long as the cloud has anisotropic
+    structure (degenerate spheres score all candidates equally — any is as
+    good).  The result seeds ``converge`` like :func:`coarse_align_2d`.
+    """
+    from ..ops.nn import nearest_neighbors
+    from ..ops.rigid_fit import _jacobi_eigh_sym
+
+    def eigbasis(points, mask):
+        c = geometry.masked_centroid(points, mask)
+        w = mask.astype(points.dtype)
+        centered = (points - c[..., None, :]) * w[..., None]
+        cov = jnp.einsum("...ni,...nj->...ij", centered, centered)
+        vals, vecs = _jacobi_eigh_sym(cov)
+        order = jnp.argsort(vals, axis=-1)
+        vecs = jnp.take_along_axis(
+            vecs, order[..., None, :].repeat(3, axis=-2), axis=-1
+        )
+        # Make each basis right-handed.
+        det = jnp.linalg.det(vecs)
+        vecs = vecs.at[..., :, 0].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
+        return c, vecs
+
+    ca, va = eigbasis(source.points, source.mask)
+    cb, vb = eigbasis(target.points, target.mask)
+
+    # 4 sign patterns with product +1 keep det(R) = +1.
+    signs = jnp.asarray(
+        [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], dtype=source.dtype
+    )
+
+    def candidate(s):
+        r = jnp.einsum("...ik,k,...jk->...ij", vb, s, va)
+        t = cb - jnp.einsum("...ij,...j->...i", r, ca)
+        return RigidTransform(r, t)
+
+    def score(tf):
+        moved = geometry.apply(tf, source.points)
+        sq, _ = nearest_neighbors(moved, target.points, target.mask)
+        sq = jnp.where(source.mask, sq, 0.0)
+        n = jnp.maximum(jnp.sum(source.mask, axis=-1).astype(sq.dtype), 1.0)
+        return jnp.sum(sq, axis=-1) / n
+
+    cands = [candidate(signs[i]) for i in range(4)]
+    scores = jnp.stack([score(tf) for tf in cands], axis=-1)  # (..., 4)
+    best = jnp.argmin(scores, axis=-1)
+    rot = jnp.stack([tf.rotation for tf in cands], axis=-3)
+    trans = jnp.stack([tf.translation for tf in cands], axis=-2)
+    r = jnp.take_along_axis(rot, best[..., None, None, None].repeat(3, -2).repeat(3, -1), axis=-3)[..., 0, :, :]
+    t = jnp.take_along_axis(trans, best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    return RigidTransform(r, t)

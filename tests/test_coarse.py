@@ -105,3 +105,33 @@ def test_coarse_seeded_chain_survives_sharp_turns(rng):
     end_coarse = float(np.linalg.norm(np.asarray(t_coarse.poses.translation[-1])))
     assert end_coarse < 0.05, end_coarse  # loop closes
     assert end_id > 1.0, end_id  # identity seeding demonstrably fails here
+
+
+@pytest.mark.parametrize("deg", [60, 140])
+def test_coarse_3d_plus_icp_recovers_large_rotation(rng, deg):
+    from scipy_free_rotations import rot_zyx
+
+    from icp_tpu.ops.coarse import coarse_align_3d
+
+    # Anisotropic structured cloud (a bent sheet).
+    xy = rng.uniform(-6, 6, (400, 2)) * np.array([1.0, 0.5])
+    z = 0.3 * np.sin(xy[:, 0])
+    a_pts = np.column_stack([xy, z])
+    rot = rot_zyx(np.deg2rad(deg), np.deg2rad(15), np.deg2rad(25))
+    t_true = np.array([2.0, -1.0, 0.5])
+    b_pts = a_pts @ rot.T + t_true
+
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    guess = coarse_align_3d(a, b)
+
+    method = icp.from_method("gicp", 3, icp.Config(neighbors=10))
+    cfg = icp.DriverConfig(max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    result, _ = icp.converge(method, a, b, guess, cfg)
+    err = float(
+        geometry.rotation_angle_3d(jnp.asarray(rot.T) @ result.transform.rotation)
+    )
+    assert err < 5e-3, np.rad2deg(err)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), t_true, atol=0.05
+    )
