@@ -43,8 +43,8 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     starts = np.concatenate([[0], np.nonzero(new_cell)[0] + 1])
     ends = np.concatenate([starts[1:], [len(pts_sorted)]])
     sums = np.add.reduceat(pts_sorted, starts, axis=0)
-    counts = (ends - starts)[:, None]
-    return sums / counts
+    counts = (ends - starts)[:, None].astype(pts.dtype)
+    return (sums / counts).astype(pts.dtype)
 
 
 @dataclasses.dataclass
@@ -86,29 +86,36 @@ def scan_to_map_odometry(
     """
     import jax.numpy as jnp
 
-    fns: dict = {}
+    fn = make_converge_fn(method, config)  # jit specializes per shape itself
     local_map: LocalMap | None = None
     kf_pose = None
+    prev_pose = None
     dim = None
 
     for t, scan in enumerate(scans):
         if local_map is None:
             dim = scan.dim
             pts = np.asarray(scan.points[: int(scan.count)])
-            local_map = LocalMap(voxel_size, map_capacity, voxel_downsample(pts, voxel_size))
+            # Build through merged_with so the initial map also respects
+            # map_capacity (a dense first scan can exceed it on its own).
+            local_map = LocalMap(
+                voxel_size, map_capacity, np.zeros((0, dim), dtype=pts.dtype)
+            ).merged_with(pts)
             kf_pose = geometry.identity(dim, dtype=scan.dtype)
+            prev_pose = kf_pose
             yield kf_pose, True, None
             continue
 
         map_cloud = from_points(
             local_map.points, capacity=map_capacity, dtype=np.asarray(scan.points).dtype
         )
-        key = (scan.capacity, map_cloud.capacity)
-        if key not in fns:
-            fns[key] = make_converge_fn(method, config)
-        # Seed from the last keyframe pose (scan -> world).
-        result, _ = fns[key](scan, map_cloud, kf_pose)
+        # Seed from the PREVIOUS scan's pose — strictly fresher than the
+        # keyframe pose, so the initial-guess error is bounded by one scan's
+        # motion rather than a whole keyframe interval (sustained turns
+        # would otherwise push the seed outside ICP's basin).
+        result, _ = fn(scan, map_cloud, prev_pose)
         pose = result.transform
+        prev_pose = pose
 
         delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))
         delta_a = abs(

@@ -135,7 +135,6 @@ def _jacobian_rows(a_cur: Array, dim: int) -> Array:
     d/dt = I; d/domega = -[a]_x (3D) / perpendicular (2D), evaluated at the
     current points (right-perturbation on the accumulated transform).
     """
-    n = a_cur.shape[-2]
     eye = jnp.broadcast_to(jnp.eye(dim, dtype=a_cur.dtype), (*a_cur.shape[:-1], dim, dim))
     if dim == 2:
         # rotation column: d(R(theta) a)/dtheta at 0 = (-a_y, a_x)
@@ -213,12 +212,20 @@ def create(config: Config) -> Method:
         )
         xi = -jnp.linalg.solve(damped, jtr[..., None])[..., 0]
         step = lie.exp(xi, src.dim)
+        new_transform = geometry.compose(step, state.transform)
 
-        mahal = jnp.einsum("...ni,...nij,...nj->...n", resid, w_mat, resid)
+        # Stored cost is the POST-step residual under the same
+        # correspondences: without this, iteration 1's cost is bit-identical
+        # to init's (both evaluate the same pre-step state) and any
+        # delta-cost tolerance would terminate after one Gauss-Newton step.
+        a_new = geometry.apply(new_transform, src.points)
+        mahal = _mahalanobis(
+            a_new, new_transform.rotation, state.cov_a, state.cov_b, tgt.points, idx
+        )
         cost = jnp.where(src.mask, mahal, jnp.inf)
         return dataclasses.replace(
             state,
-            transform=geometry.compose(step, state.transform),
+            transform=new_transform,
             match_idx=idx,
             match_cost=cost,
         )

@@ -152,11 +152,16 @@ def create(config: Config) -> Method:
         matched_n = jnp.take_along_axis(state.normals, idx[..., None], axis=-2)
         xi = _solve_increment(a_cur, matched_b, matched_n, w, src.dim)
         step = lie.exp(xi, src.dim)
-        plane = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n) ** 2
+        new_transform = geometry.compose(step, state.transform)
+        # Post-step residual under the same correspondences (a pre-step cost
+        # would be bit-identical to init's on iteration 1 and spuriously
+        # trip delta-cost termination criteria).
+        a_new = geometry.apply(new_transform, src.points)
+        plane = jnp.einsum("...nd,...nd->...n", a_new - matched_b, matched_n) ** 2
         plane = jnp.where(src.mask, plane, jnp.inf)
         return dataclasses.replace(
             state,
-            transform=geometry.compose(step, state.transform),
+            transform=new_transform,
             match_idx=idx,
             match_cost=plane,
         )

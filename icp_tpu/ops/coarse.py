@@ -144,18 +144,25 @@ def coarse_align_3d(
         t = cb - jnp.einsum("...ij,...j->...i", r, ca)
         return RigidTransform(r, t)
 
-    def score(tf):
-        moved = geometry.apply(tf, source.points)
-        sq, _ = nearest_neighbors(moved, target.points, target.mask)
-        sq = jnp.where(source.mask, sq, 0.0)
-        n = jnp.maximum(jnp.sum(source.mask, axis=-1).astype(sq.dtype), 1.0)
-        return jnp.sum(sq, axis=-1) / n
-
     cands = [candidate(signs[i]) for i in range(4)]
-    scores = jnp.stack([score(tf) for tf in cands], axis=-1)  # (..., 4)
+    # Score ALL candidates in one batched NN pass: stack them on a new
+    # leading axis and broadcast the clouds across it.
+    rot = jnp.stack([tf.rotation for tf in cands], axis=0)  # (4, ..., 3, 3)
+    trans = jnp.stack([tf.translation for tf in cands], axis=0)  # (4, ..., 3)
+    stacked = RigidTransform(rot, trans)
+    src_b = jnp.broadcast_to(source.points, (4, *source.points.shape))
+    tgt_b = jnp.broadcast_to(target.points, (4, *target.points.shape))
+    tmask_b = jnp.broadcast_to(target.mask, (4, *target.mask.shape))
+    moved = geometry.apply(stacked, src_b)
+    sq, _ = nearest_neighbors(moved, tgt_b, tmask_b)  # (4, ..., N)
+    sq = jnp.where(source.mask, sq, 0.0)
+    n = jnp.maximum(jnp.sum(source.mask, axis=-1).astype(sq.dtype), 1.0)
+    scores = jnp.moveaxis(jnp.sum(sq, axis=-1) / n, 0, -1)  # (..., 4)
     best = jnp.argmin(scores, axis=-1)
-    rot = jnp.stack([tf.rotation for tf in cands], axis=-3)
-    trans = jnp.stack([tf.translation for tf in cands], axis=-2)
-    r = jnp.take_along_axis(rot, best[..., None, None, None].repeat(3, -2).repeat(3, -1), axis=-3)[..., 0, :, :]
-    t = jnp.take_along_axis(trans, best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    rot_l = jnp.moveaxis(rot, 0, -3)  # (..., 4, 3, 3)
+    trans_l = jnp.moveaxis(trans, 0, -2)  # (..., 4, 3)
+    r = jnp.take_along_axis(
+        rot_l, best[..., None, None, None].repeat(3, -2).repeat(3, -1), axis=-3
+    )[..., 0, :, :]
+    t = jnp.take_along_axis(trans_l, best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
     return RigidTransform(r, t)

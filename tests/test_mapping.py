@@ -53,3 +53,25 @@ def test_scan_to_map_beats_scan_to_scan_drift(rng):
     assert err_s2m <= err_s2s * 1.2 + 1e-6, (err_s2m, err_s2s)
     # And absolute quality: within a few cm of closing the loop.
     assert err_s2m < 0.15, err_s2m
+
+
+def test_scan_to_map_first_scan_exceeding_capacity(rng):
+    """Regression: a dense first scan occupying more voxels than
+    map_capacity must be trimmed, not crash on the second scan."""
+    pts = rng.uniform(-50, 50, (800, 2))  # ~800 occupied voxels at 0.5
+    scans = [
+        icp.from_points(pts, capacity=800, dtype=np.float64),
+        icp.from_points(pts + [0.1, 0.0], capacity=800, dtype=np.float64),
+    ]
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=10, angle_tolerance=1e-4, translation_tolerance=1e-4)
+    out = list(
+        mapping.scan_to_map_odometry(
+            scans, method, cfg, voxel_size=0.5, map_capacity=256
+        )
+    )
+    # The regression contract is "no ValueError crash on scan 2" — the
+    # centroid-trimmed 256-point map of an 800-voxel uniform scene is not a
+    # meaningful registration target, so only require a finite result.
+    assert len(out) == 2
+    assert np.isfinite(np.asarray(out[1][0].translation)).all()

@@ -194,3 +194,23 @@ def test_gicp_inv_spd(rng):
         spd = a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d)
         inv = np.asarray(_inv_spd(jnp.asarray(spd)))
         np.testing.assert_allclose(inv, np.linalg.inv(spd), rtol=1e-9)
+
+
+@pytest.mark.parametrize("name", ["gicp", "point_to_plane"])
+def test_gn_methods_progress_under_cost_tolerance(rng, name):
+    """Regression: delta-cost termination must not fire after one GN step
+    (the stored cost previously lagged the transform by one iteration, so
+    iteration 1's cost was bit-identical to init's)."""
+    a_pts = surface_cloud_3d(rng, n=150)
+    rot = rot_zyx(0.0, 0.0, 0.3)
+    b_pts = a_pts @ rot.T + [0.4, -0.2, 0.1]
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    method = icp.from_method(name, 3, icp.Config(neighbors=10, normal_neighbors=10))
+    cfg = icp.DriverConfig(max_iterations=50, absolute_cost_tolerance=1e-10)
+    result, _ = icp.converge(method, a, b, icp.identity(3, dtype=np.float64), cfg)
+    assert int(result.iteration_count) > 1
+    err = float(
+        geometry.rotation_angle_3d(jnp.asarray(rot.T) @ result.transform.rotation)
+    )
+    assert err < 0.02, err
