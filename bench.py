@@ -38,8 +38,14 @@ def main():
 
     import icp_tpu as icp
 
-    a_pts = icp.io.parse_lidar_scan_array("/root/reference/ex_data/scan1/first.csv")
-    b_pts = icp.io.parse_lidar_scan_array("/root/reference/ex_data/scan1/second.csv")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    data_dir = "/root/reference/ex_data"
+    if not os.path.isdir(data_dir):
+        # Standalone checkouts: the bundled synthetic scan pair. Numbers are
+        # only comparable across runs using the same dataset.
+        data_dir = os.path.join(repo, "ex_data")
+    a_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/first.csv")
+    b_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/second.csv")
 
     a1 = icp.from_points(a_pts, capacity=CAPACITY, dtype=np.float32)
     b1 = icp.from_points(b_pts, capacity=CAPACITY, dtype=np.float32)

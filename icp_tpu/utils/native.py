@@ -73,8 +73,8 @@ class NativeLib:
         n = self._lib.icptpu_parse_scan_csv(
             path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap
         )
-        if n < 0:
-            return None
+        if n < 0 or n > cap:
+            return None  # error or overflow: let the Python path report it
         return buf[:n].copy()
 
     def parse_scan_batch(self, paths: list[str], capacity: int):

@@ -28,21 +28,39 @@
 
 extern "C" {
 
-// Parse "x,y" lines; skip rows with +/-inf; returns number of points written
-// to out (capacity cap), or -1 on error.
+// Parse strictly "x,y" lines (exactly two comma-separated floats, matching
+// the Python fallback's `line.partition(",")` semantics); skip non-finite
+// rows. Returns the TOTAL number of valid rows seen — callers detect
+// overflow by comparing against cap (only the first cap rows are written).
 long long icptpu_parse_scan_csv(const char* path, double* out, long long cap) {
     FILE* f = std::fopen(path, "r");
     if (!f) return -1;
     char line[512];
     long long n = 0;
     while (std::fgets(line, sizeof line, f)) {
+        // A row longer than the buffer: consume the remainder so the next
+        // fgets starts on a fresh line (the fragment itself is rejected by
+        // the strict end-of-line check below unless it happens to be a
+        // complete "x,y" prefix — matching whole-line Python reads is why
+        // we drain rather than re-parse fragments).
+        bool complete = std::strchr(line, '\n') != nullptr;
+        if (!complete) {
+            int ch;
+            while ((ch = std::fgetc(f)) != EOF && ch != '\n') {
+            }
+            continue;
+        }
         char* end = nullptr;
         double x = std::strtod(line, &end);
         if (end == line) continue;
-        while (*end && (*end == ',' || std::isspace(static_cast<unsigned char>(*end)))) ++end;
+        while (*end == ' ' || *end == '\t') ++end;
+        if (*end != ',') continue;  // require the comma separator
+        ++end;
         char* end2 = nullptr;
         double y = std::strtod(end, &end2);
         if (end2 == end) continue;
+        while (*end2 == ' ' || *end2 == '\t' || *end2 == '\r' || *end2 == '\n') ++end2;
+        if (*end2 != '\0') continue;  // trailing junk / extra columns: reject
         if (!std::isfinite(x) || !std::isfinite(y)) continue;
         if (n < cap) {
             out[2 * n] = x;
@@ -51,7 +69,7 @@ long long icptpu_parse_scan_csv(const char* path, double* out, long long cap) {
         ++n;
     }
     std::fclose(f);
-    return n <= cap ? n : cap;
+    return n;
 }
 
 // Threaded batch loader: parse n_paths scan CSVs (null-separated in
@@ -109,23 +127,18 @@ struct KdTree {
         order.assign(static_cast<size_t>(m), 0);
         std::iota(order.begin(), order.end(), 0);
         axis.assign(static_cast<size_t>(m), -1);
-        tmp.resize(static_cast<size_t>(m));
-        build_range(0, m, 0, 0);
+        build_range(0, m, 0);
     }
 
-    // Balanced layout: node slot `node` covers order[lo, hi).
-    struct Span { long long lo, hi, node; int depth; };
-    std::vector<int64_t> tmp;
-
-    void build_range(long long lo, long long hi, int depth, long long node) {
+    void build_range(long long lo, long long hi, int depth) {
         if (lo >= hi) return;
         int ax = depth % dim;
         long long mid = lo + (hi - lo - 1) / 2;
         std::nth_element(order.begin() + lo, order.begin() + mid, order.begin() + hi,
                          [&](int64_t a, int64_t b) { return pts[a * dim + ax] < pts[b * dim + ax]; });
         axis[static_cast<size_t>(mid)] = static_cast<int8_t>(ax);
-        build_range(lo, mid, depth + 1, 0);
-        build_range(mid + 1, hi, depth + 1, 0);
+        build_range(lo, mid, depth + 1);
+        build_range(mid + 1, hi, depth + 1);
     }
 
     void query(const double* q, long long lo, long long hi,

@@ -79,7 +79,7 @@ def main():
         fname = f"{name}_{dim}d.md"
         with open(os.path.join(args.out, "methods", fname), "w") as f:
             f.write(page)
-        first = (inspect.getdoc(module) or "").splitlines()[0]
+        first = ((inspect.getdoc(module) or "").splitlines() or ["(no documentation)"])[0]
         index_lines.append(f"* [`{name}` ({dim}D)](methods/{fname}) — {first}")
         print(f"wrote {fname}")
 
@@ -89,7 +89,9 @@ def main():
         content = open(main_md).read()
         pattern = re.escape(MARKER_BEGIN) + r".*?" + re.escape(MARKER_END)
         replacement = MARKER_BEGIN + "\n" + index + MARKER_END
-        content = re.sub(pattern, replacement, content, flags=re.DOTALL)
+        # repl as a callable: docstring content must never be interpreted as
+        # regex escape sequences (e.g. LaTeX backslashes).
+        content = re.sub(pattern, lambda _m: replacement, content, flags=re.DOTALL)
     else:
         content = MARKER_BEGIN + "\n" + index + MARKER_END + "\n"
     with open(main_md, "w") as f:

@@ -31,7 +31,6 @@ def check_rotation_closed_form():
     # the maximizing branch is atan2(h01 - h10, h00 + h11): second derivative
     # there is -sqrt((h00+h11)^2 + (h01-h10)^2) < 0.
     d1 = sp.diff(target, theta)
-    s, c = sp.symbols("s c", real=True)
     num, den = h01 - h10, h00 + h11
     norm = sp.sqrt(num**2 + den**2)
     at_opt = d1.subs({sp.sin(theta): num / norm, sp.cos(theta): den / norm})
