@@ -363,6 +363,11 @@ def cmd_odometry(args):
 
         render_trajectory(args.render, poses, scans=scans)
         print(f"wrote {args.render}", file=sys.stderr)
+    if args.save:
+        from .checkpoint import save_pytree
+
+        save_pytree(args.save, {"rotation": poses.rotation, "translation": poses.translation})
+        print(f"saved trajectory to {args.save}", file=sys.stderr)
 
 
 def cmd_methods(args):
@@ -445,6 +450,7 @@ def main(argv=None):
     p_odo.add_argument("--voxel-size", type=float, default=0.1)
     p_odo.add_argument("--map-capacity", type=int, default=8192)
     p_odo.add_argument("--render", help="write a trajectory/map PNG to this path")
+    p_odo.add_argument("--save", help="checkpoint the trajectory poses (.npz)")
     p_odo.add_argument(
         "--coarse", action="store_true",
         help="seed every pair with the global 2D rotation search (sharp turns)",
