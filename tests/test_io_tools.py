@@ -87,3 +87,25 @@ def test_pallas_nn_tie_break(rng):
     _, idx_r = nearest_neighbors(q, t, None)
     _, idx_p = nearest_neighbors_pallas(q, t, None, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+
+
+def test_csv_loader_native_python_parity(tmp_path):
+    """Native and Python CSV parsers must accept/reject identical rows."""
+    from icp_tpu.io.scan_csv import parse_lidar_scan_array
+    from icp_tpu.utils.native import native_lib
+
+    path = tmp_path / "mixed.csv"
+    path.write_text(
+        "1.0 2.0\n"          # space-separated: reject
+        "3.0,4.0,9.9\n"      # extra column: reject
+        "nan,1.0\n"          # NaN: reject
+        "inf,2.0\n"          # inf: reject
+        "5,6\n"              # valid
+        " 7.5 , 8.5 \n"      # whitespace-padded valid
+    )
+    py = parse_lidar_scan_array(str(path))
+    np.testing.assert_allclose(py, [[5.0, 6.0], [7.5, 8.5]])
+    lib = native_lib()
+    if lib is not None:
+        native = lib.parse_scan_csv(str(path))
+        np.testing.assert_allclose(native, py)
