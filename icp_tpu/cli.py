@@ -381,6 +381,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="icp-tpu", description="TPU-native scan matching / odometry engine"
     )
+    from . import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"icp-tpu {__version__}"
+    )
     parser.add_argument(
         "--platform", choices=["cpu", "tpu"], default=None,
         help="force the JAX backend (this image pins a TPU tunnel that "
