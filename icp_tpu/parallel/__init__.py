@@ -3,6 +3,7 @@
 * :mod:`.mesh` — named ``(data, points)`` device mesh + multi-host bring-up.
 * :mod:`.converge` — batched registration sharded via GSPMD annotations.
 * :mod:`.sharded_nn` — target-sharded exact NN with argmin-combine collectives.
+* :mod:`.ring_nn` — ppermute-ring NN: both clouds stay sharded, O(M/P) memory.
 * :mod:`.big_cloud` — one giant pair sharded over points with psum-reduced
   Kabsch inside a single ``shard_map``.
 """
@@ -17,6 +18,7 @@ from .mesh import (
     replicated,
 )
 from .converge import make_sharded_converge_fn, shard_batch, sharded_converge_shardings
+from .ring_nn import ring_nearest_neighbors
 from .sharded_nn import sharded_nearest_neighbors
 from .big_cloud import big_cloud_converge
 
@@ -30,6 +32,7 @@ __all__ = [
     "make_mesh",
     "make_sharded_converge_fn",
     "replicated",
+    "ring_nearest_neighbors",
     "shard_batch",
     "sharded_converge_shardings",
     "sharded_nearest_neighbors",

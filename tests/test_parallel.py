@@ -181,3 +181,31 @@ def test_big_cloud_2d_matches_method(rng):
     # 2D big-cloud uses the working-copy scheme; the pose should recover the
     # planted transform (the rotation applied was R^T due to row convention).
     np.testing.assert_allclose(np.asarray(tf.translation), [0.5, -0.3], atol=1e-3)
+
+
+def test_ring_nn_matches_single_device(rng):
+    """ppermute-ring NN (O(M/P) memory) == single-device kernel, bit for bit."""
+    from icp_tpu.parallel.ring_nn import ring_nearest_neighbors
+
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    q = jnp.asarray(rng.uniform(-50, 50, (96, 3)))
+    t = jnp.asarray(rng.uniform(-50, 50, (160, 3)))
+    mask = jnp.asarray(rng.uniform(size=160) > 0.1)
+    sq_ref, idx_ref = nearest_neighbors(q, t, mask)
+    sq, idx = ring_nearest_neighbors(q, t, mask, mesh)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(sq_ref), rtol=1e-12)
+
+
+def test_ring_nn_tie_break(rng):
+    from icp_tpu.parallel.ring_nn import ring_nearest_neighbors
+
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    base = rng.uniform(-5, 5, (16, 2))
+    t = jnp.asarray(np.tile(base, (8, 1)))  # duplicates across every shard
+    q = jnp.asarray(np.tile(base + rng.normal(0, 0.01, base.shape), (8, 1)))
+    _, idx_ref = nearest_neighbors(q, t, None)
+    _, idx = ring_nearest_neighbors(q, t, None, mesh)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
