@@ -56,12 +56,18 @@ def big_cloud_converge(
     translation_tolerance: float | None = None,
     max_distance: float | None = None,
     solver: str = "auto",
+    target_mode: str = "gather",
 ):
     """Register one sharded pair; returns ``(transform, iterations, mean_nn)``.
 
     ``source_points (N, D)`` / ``source_mask (N,)`` and ``target_points
     (M, D)`` / ``target_mask (M,)`` are sharded over ``points``; ``guess``
     is replicated.  N and M must divide by the ``points`` axis size.
+
+    ``target_mode``: ``"gather"`` all-gathers the target once per run
+    (per-device memory O(M); cheapest while it fits), ``"ring"`` keeps the
+    target sharded forever and rotates shards with ``ppermute`` each
+    iteration (per-device memory O(M/P) — the beyond-HBM regime).
     """
     n_shards = mesh.shape[POINT_AXIS]
     if source_points.shape[0] % n_shards or target_points.shape[0] % n_shards:
@@ -85,19 +91,29 @@ def big_cloud_converge(
         check_vma=False,
     )
     def _run(src_local, smask_local, tgt_local, tmask_local, guess_rot, guess_trans):
-        tgt_full = jax.lax.all_gather(tgt_local, POINT_AXIS, tiled=True)
-        tmask_full = jax.lax.all_gather(tmask_local, POINT_AXIS, tiled=True)
+        if target_mode == "gather":
+            tgt_full = jax.lax.all_gather(tgt_local, POINT_AXIS, tiled=True)
+            tmask_full = jax.lax.all_gather(tmask_local, POINT_AXIS, tiled=True)
+        elif target_mode != "ring":
+            raise ValueError(f"unknown target_mode {target_mode!r}")
         w_src = smask_local.astype(dtype)
 
         def step(carry):
             rot, trans, c_local, _, it = carry
-            sq, idx = nearest_neighbors(c_local, tgt_full, tmask_full)
+            if target_mode == "ring":
+                from .ring_nn import ring_nn_with_points
+
+                sq, idx, matched = ring_nn_with_points(
+                    c_local, tgt_local, tmask_local, n_shards
+                )
+            else:
+                sq, idx = nearest_neighbors(c_local, tgt_full, tmask_full)
+                matched = jnp.take_along_axis(tgt_full, idx[..., None], axis=-2)
             dist = jnp.sqrt(jnp.sqrt(sq))  # reference sqrt(Euclidean) semantics
             if max_distance is not None:
                 w = jnp.where(dist <= max_distance, w_src, 0.0)
             else:
                 w = w_src
-            matched = jnp.take_along_axis(tgt_full, idx[..., None], axis=-2)
 
             # Partial weighted sums -> psum over the points axis.
             sw = jax.lax.psum(jnp.sum(w), POINT_AXIS)

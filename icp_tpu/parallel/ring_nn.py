@@ -89,3 +89,45 @@ def ring_nearest_neighbors(
         return best_sq, best_idx
 
     return _kernel(query, targets, target_mask)
+
+
+def ring_nn_with_points(
+    q_local: Array,
+    tgt_local: Array,
+    mask_local: Array,
+    n_shards: int,
+) -> tuple[Array, Array, Array]:
+    """Ring-fold NN returning matched COORDINATES as well — for callers that
+    need the correspondence values (e.g. the rigid solve) while the target
+    stays sharded.  Must be called INSIDE a ``shard_map`` over ``points``.
+
+    Returns ``(sq (N_local,), global_idx (N_local,) i32, matched (N_local, D))``.
+    """
+    shard_m = tgt_local.shape[0]
+    me = jax.lax.axis_index(POINT_AXIS).astype(jnp.int32)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def body(step, carry):
+        best_sq, best_idx, best_pt, tgt_cur, mask_cur = carry
+        owner = jnp.mod(me - step, n_shards)
+        sq, idx = nearest_neighbors(q_local, tgt_cur, mask_cur)
+        gidx = idx + owner * shard_m
+        cand_pt = jnp.take_along_axis(tgt_cur, idx[:, None], axis=0)
+        better = (sq < best_sq) | ((sq == best_sq) & (gidx < best_idx))
+        best_sq = jnp.where(better, sq, best_sq)
+        best_idx = jnp.where(better, gidx, best_idx)
+        best_pt = jnp.where(better[:, None], cand_pt, best_pt)
+        tgt_next = jax.lax.ppermute(tgt_cur, POINT_AXIS, perm)
+        mask_next = jax.lax.ppermute(mask_cur, POINT_AXIS, perm)
+        return best_sq, best_idx, best_pt, tgt_next, mask_next
+
+    n_local = q_local.shape[0]
+    init = (
+        jnp.full((n_local,), jnp.inf, dtype=q_local.dtype),
+        jnp.full((n_local,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+        jnp.zeros_like(q_local),
+        tgt_local,
+        mask_local,
+    )
+    best_sq, best_idx, best_pt, _, _ = jax.lax.fori_loop(0, n_shards, body, init)
+    return best_sq, best_idx, best_pt

@@ -209,3 +209,25 @@ def test_ring_nn_tie_break(rng):
     _, idx_ref = nearest_neighbors(q, t, None)
     _, idx = ring_nearest_neighbors(q, t, None, mesh)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+def test_big_cloud_ring_mode_matches_gather(rng):
+    """target_mode='ring' (O(M/P) memory) == 'gather' == unsharded method."""
+    require_devices(8)
+    mesh = make_mesh(data=1, points=8)
+    n, m = 128, 160
+    a_pts = rng.uniform(-10, 10, (n, 3))
+    b_pts = np.concatenate([a_pts + [0.8, -0.4, 0.2], rng.uniform(-10, 10, (m - n, 3))])
+    args = (
+        jnp.asarray(a_pts), jnp.ones(n, dtype=bool),
+        jnp.asarray(b_pts), jnp.ones(m, dtype=bool),
+        icp.identity(3, dtype=np.float64), mesh,
+    )
+    kw = dict(max_iterations=8, solver="svd")
+    tf_g, it_g, nn_g = big_cloud_converge(*args, target_mode="gather", **kw)
+    tf_r, it_r, nn_r = big_cloud_converge(*args, target_mode="ring", **kw)
+    np.testing.assert_allclose(np.asarray(tf_r.rotation), np.asarray(tf_g.rotation), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(tf_r.translation), np.asarray(tf_g.translation), atol=1e-12
+    )
+    np.testing.assert_allclose(float(nn_r), float(nn_g), atol=1e-12)
