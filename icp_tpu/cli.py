@@ -117,7 +117,14 @@ def cmd_register(args):
         guess = (coarse_align_2d if dim == 2 else coarse_align_3d)(source, target)
 
     t0 = time.perf_counter()
-    result, _ = icp.converge(method, source, target, guess, cfg)
+    if args.multiscale:
+        from .multiscale import converge_multiscale
+
+        result, _ = converge_multiscale(
+            method, source, target, guess, cfg, factors=(4,), coarse_max_iterations=30
+        )
+    else:
+        result, _ = icp.converge(method, source, target, guess, cfg)
     rotation = np.asarray(result.transform.rotation)
     dt = time.perf_counter() - t0
 
@@ -399,6 +406,10 @@ def main(argv=None):
     p_reg.add_argument("-m", "--method", default="vanilla")
     p_reg.add_argument("-c", "--config", nargs="*", help="method config key=value")
     p_reg.add_argument("--ply", action="store_true", help="inputs are 3D PLY clouds")
+    p_reg.add_argument(
+        "--multiscale", action="store_true",
+        help="coarse-to-fine pyramid (decimate 4x, then full resolution)",
+    )
     p_reg.add_argument(
         "--coarse", action="store_true",
         help="global rotation initializer: bearing-histogram correlation (2D) "
