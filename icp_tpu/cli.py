@@ -319,7 +319,9 @@ def cmd_odometry(args):
     method = _make_method(args.method, 2, _parse_config(args.config))
     cfg = _driver_config(args)
 
-    traj = odometry.chain_scans(scans, method, cfg, coarse=args.coarse)
+    traj = odometry.chain_scans(
+        scans, method, cfg, coarse=args.coarse, multiscale=args.multiscale
+    )
     if args.optimize or args.loop_radius:
         from . import geometry as _geo
         from . import pose_graph
@@ -470,6 +472,10 @@ def main(argv=None):
     p_odo.add_argument(
         "--coarse", action="store_true",
         help="seed every pair with the global 2D rotation search (sharp turns)",
+    )
+    p_odo.add_argument(
+        "--multiscale", action="store_true",
+        help="register pairs through the coarse-to-fine pyramid",
     )
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)

@@ -74,6 +74,7 @@ def chain_scans(
     initial: RigidTransform | None = None,
     guesses: RigidTransform | None = None,
     coarse: bool = False,
+    multiscale: bool = False,
 ) -> Trajectory:
     """Register every consecutive pair of a ``(T, N, D)`` scan stack and
     compose the trajectory.
@@ -83,6 +84,8 @@ def chain_scans(
     (2D) seeds every pair with the global bearing-histogram rotation search
     (``ops/coarse.py``), making sharp turns between consecutive scans (30+
     degrees, outside plain ICP's basin from identity) recoverable.
+    ``multiscale=True`` registers each pair through the coarse-to-fine
+    pyramid (``icp_tpu.multiscale``, ~3x cheaper per pair at scan scale).
     """
     t_total = scans.points.shape[0]
     if t_total < 2:
@@ -101,7 +104,15 @@ def chain_scans(
     if initial is None:
         initial = geometry.identity(dim, dtype=scans.dtype)
 
-    result, _ = converge(method, sources, targets, guesses, config)
+    if multiscale:
+        from .multiscale import converge_multiscale
+
+        result, _ = converge_multiscale(
+            method, sources, targets, guesses, config,
+            factors=(4,), coarse_max_iterations=30,
+        )
+    else:
+        result, _ = converge(method, sources, targets, guesses, config)
     poses = compose_chain(result.transform, initial)
     return Trajectory(poses=poses, relative=result.transform, registration=result)
 
