@@ -59,8 +59,10 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("seed", [123, 7, 2026])
 @pytest.mark.parametrize("name,dim,config,make_oracle", CASES, ids=lambda c: str(c))
-def test_iterate_lockstep_parity(rng, name, dim, config, make_oracle):
+def test_iterate_lockstep_parity(seed, name, dim, config, make_oracle):
+    rng = np.random.default_rng(seed)
     n, m = 57, 63
     a_pts, b_pts = random_pair(rng, n, m, dim)
     method = icp.from_method(name, dim, config)
