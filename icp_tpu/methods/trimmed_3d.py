@@ -46,8 +46,11 @@ def create(config: Config) -> Method:
     solver = config.get("solver", "auto")
 
     def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> Vanilla3dState:
+        # Working copy starts at guess(source) — see the conscious-deviation
+        # note in ``vanilla_3d.py`` (the reference double-counts guesses).
         big = jnp.full(source.batch_shape, jnp.finfo(source.dtype).max, dtype=source.dtype)
-        return Vanilla3dState(guess, source.points, source, target, big)
+        c0 = geometry.apply(guess, source.points)
+        return Vanilla3dState(guess, c0, source, target, big)
 
     def iterate(state: Vanilla3dState) -> Vanilla3dState:
         src, tgt = state.source, state.target

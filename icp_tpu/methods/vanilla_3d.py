@@ -65,12 +65,17 @@ def create(config: Config) -> Method:
     solver = config.get("solver", "auto")
 
     def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> Vanilla3dState:
-        # ``setup`` resets c = a and the cost to +max (``vanilla_3d.cpp:71-73``).
-        # Note: the reference *ignores* the initial guess for the working copy
-        # (c starts at the raw source) while ``transform`` starts at the guess;
-        # we reproduce that faithfully.
+        # CONSCIOUS DEVIATION from ``vanilla_3d.cpp:71-73``: the reference
+        # resets the working copy to the RAW source while ``transform``
+        # starts at the guess, so any non-identity guess is double-counted
+        # in the reported transform (steps already realize the full
+        # alignment; composing them onto the guess adds it again) — seeding
+        # is simply broken there.  We start ``c = guess(source)`` so
+        # ``steps ∘ guess`` is the correct pose.  Identity-guess behavior
+        # (all parity tests, the reference's own usage) is unchanged.
         big = jnp.full(source.batch_shape, jnp.finfo(source.dtype).max, dtype=source.dtype)
-        return Vanilla3dState(guess, source.points, source, target, big)
+        c0 = geometry.apply(guess, source.points)
+        return Vanilla3dState(guess, c0, source, target, big)
 
     def iterate(state: Vanilla3dState) -> Vanilla3dState:
         src, tgt = state.source, state.target

@@ -7,6 +7,13 @@ at full resolution seeded by the coarse result.  The final level runs the
 caller's exact driver config, so the accuracy contract (termination
 tolerances) is unchanged; only the path to the basin is cheaper and wider.
 
+Caveat: multiscale is an ACCELERATOR, not a robustness feature — on sparse
+or highly structured geometry the decimated cost landscape can have a
+different nearest local minimum, and the full-resolution refinement then
+converges in that basin instead of the from-identity one.  Use it where the
+problem is well-conditioned (dense scans, good initial guesses, the bench
+workload); for hard initializations use :mod:`icp_tpu.ops.coarse` instead.
+
 Decimation is stride subsampling of the front-packed cloud — a static-shape
 slice (``points[::f]``), with the valid count adjusted to ``ceil(count/f)``;
 no data-dependent shapes anywhere, so each pyramid level is one compiled

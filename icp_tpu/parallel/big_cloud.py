@@ -139,10 +139,11 @@ def big_cloud_converge(
             *_, it = carry
             return it < max_iterations
 
+        c0 = src_local @ guess_rot.T + guess_trans  # respect the guess
         init = (
             guess_rot,
             guess_trans,
-            src_local,  # working copy starts at the raw source (3D-family quirk)
+            c0,
             jnp.asarray(jnp.finfo(dtype).max, dtype=dtype),
             jnp.asarray(0, dtype=jnp.int32),
         )

@@ -12,6 +12,7 @@ quirk, ``vanilla_3d.cpp:98-106``), so only transform-tolerance /
 max-iteration termination drives these runs — reproduced here.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy_free_rotations import rot_axis, rot_zyx  # local helper below
@@ -111,3 +112,24 @@ def test_noisy(method):
     b_pts = a_pts @ rot.T + t + rng.normal(0.0, 1.0, (3, 3))
     result = converge(method, cloud3(a_pts), cloud3(b_pts))
     assert_pose(result, rot, t, trans_eps=TRANS_EPS + 1.0, rad_eps=0.1)
+
+
+@pytest.mark.parametrize("method", methods(), ids=lambda m: m.name)
+def test_3d_guess_seeding_not_double_counted(method):
+    """Regression (conscious deviation from vanilla_3d.cpp:71-73): seeding a
+    3D method with the EXACT solution must return that solution, not twice
+    it (the reference's working copy ignores the guess)."""
+    rng = np.random.default_rng(3)
+    a_pts = rng.uniform(-10, 10, (60, 3))
+    rot = rot_zyx(0.1, 0.05, 0.2)
+    t = np.array([1.0, -2.0, 0.5])
+    b_pts = a_pts @ rot.T + t
+    a = cloud3(a_pts)
+    b = cloud3(b_pts)
+    exact = icp.RigidTransform(jnp.asarray(rot), jnp.asarray(t))
+    result, _ = icp.converge(
+        method, a, b, exact,
+        icp.DriverConfig(max_iterations=10, angle_tolerance=1e-6, translation_tolerance=1e-6),
+    )
+    np.testing.assert_allclose(np.asarray(result.transform.translation), t, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(result.transform.rotation), rot, atol=1e-8)

@@ -58,3 +58,33 @@ def test_multiscale_batched(rng):
     np.testing.assert_allclose(
         np.asarray(r.transform.translation), shift[:, 0], atol=0.05
     )
+
+
+def test_multiscale_3d_well_conditioned(rng):
+    """3D pyramid on dense structured data matches the full run.
+
+    (On sparse or heavily decimated 3D geometry the coarse level can settle
+    in a DIFFERENT local basin than the from-identity run — a documented
+    caveat in icp_tpu/multiscale.py; multiscale is an accelerator for
+    well-conditioned problems, not a robustness feature.)
+    """
+    # Non-periodic structure (periodic surfaces alias under decimation).
+    a_pts = rng.uniform(-6, 6, (1200, 3)) * np.array([1.0, 0.7, 0.4])
+    from scipy_free_rotations import rot_zyx
+
+    rot = rot_zyx(0.05, 0.04, 0.08)
+    b_pts = a_pts @ rot.T + [0.3, -0.2, 0.1]
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    method = icp.from_method("trimmed", 3, icp.Config(max_distance=5.0))
+    cfg = icp.DriverConfig(max_iterations=80, angle_tolerance=1e-5, translation_tolerance=1e-5)
+
+    r_full, _ = icp.converge(method, a, b, icp.identity(3, dtype=np.float64), cfg)
+    r_ms, _ = converge_multiscale(
+        method, a, b, icp.identity(3, dtype=np.float64), cfg, factors=(4,)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ms.transform.translation),
+        np.asarray(r_full.transform.translation),
+        atol=5e-3,
+    )
