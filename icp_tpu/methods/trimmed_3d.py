@@ -33,7 +33,13 @@ from ..config import Config
 from ..geometry import RigidTransform
 from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
-from .vanilla_3d import Vanilla3dState, _mean_distance, _neighbor_distances
+from .vanilla_3d import (
+    Vanilla3dState,
+    _mean_distance,
+    _neighbor_distances,
+    make_parity_cost,
+    working_copy_init,
+)
 
 Array = jax.Array
 
@@ -45,12 +51,7 @@ def create(config: Config) -> Method:
     parity = bool(config.get("parity", 1))
     solver = config.get("solver", "auto")
 
-    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> Vanilla3dState:
-        # Working copy starts at guess(source) — see the conscious-deviation
-        # note in ``vanilla_3d.py`` (the reference double-counts guesses).
-        big = jnp.full(source.batch_shape, jnp.finfo(source.dtype).max, dtype=source.dtype)
-        c0 = geometry.apply(guess, source.points)
-        return Vanilla3dState(guess, c0, source, target, big)
+    init = working_copy_init  # shared 3D-family init (guess-seeded working copy)
 
     def iterate(state: Vanilla3dState) -> Vanilla3dState:
         src, tgt = state.source, state.target
@@ -68,9 +69,6 @@ def create(config: Config) -> Method:
             mean_nn_dist=_mean_distance(dist, src.mask, src.count),
         )
 
-    def cost(state: Vanilla3dState) -> Array:
-        if parity:
-            return jnp.zeros(state.mean_nn_dist.shape, dtype=state.mean_nn_dist.dtype)
-        return state.mean_nn_dist
-
-    return Method(name="trimmed", dim=3, init=init, iterate=iterate, cost=cost)
+    return Method(
+        name="trimmed", dim=3, init=init, iterate=iterate, cost=make_parity_cost(parity)
+    )

@@ -60,22 +60,41 @@ def _mean_distance(dist: Array, mask: Array, count: Array) -> Array:
     return jnp.sum(d, axis=-1) / n
 
 
+def working_copy_init(
+    source: PointCloud, target: PointCloud, guess: RigidTransform
+) -> Vanilla3dState:
+    """Shared 3D-family init (also used by ``trimmed_3d``).
+
+    CONSCIOUS DEVIATION from ``vanilla_3d.cpp:71-73``: the reference resets
+    the working copy to the RAW source while ``transform`` starts at the
+    guess, so any non-identity guess is double-counted in the reported
+    transform (steps already realize the full alignment; composing them
+    onto the guess adds it again) — seeding is simply broken there.  We
+    start ``c = guess(source)`` so ``steps ∘ guess`` is the correct pose.
+    Identity-guess behavior (all parity tests, the reference's own usage)
+    is unchanged.
+    """
+    big = jnp.full(source.batch_shape, jnp.finfo(source.dtype).max, dtype=source.dtype)
+    c0 = geometry.apply(guess, source.points)
+    return Vanilla3dState(guess, c0, source, target, big)
+
+
+def make_parity_cost(parity: bool):
+    """Shared 3D-family driver cost: 0.0 in parity mode (the shadowed-cost
+    quirk), else the method-internal mean NN distance."""
+
+    def cost(state: Vanilla3dState) -> Array:
+        if parity:
+            return jnp.zeros(state.mean_nn_dist.shape, dtype=state.mean_nn_dist.dtype)
+        return state.mean_nn_dist
+
+    return cost
+
+
 def create(config: Config) -> Method:
     parity = bool(config.get("parity", 1))
     solver = config.get("solver", "auto")
-
-    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> Vanilla3dState:
-        # CONSCIOUS DEVIATION from ``vanilla_3d.cpp:71-73``: the reference
-        # resets the working copy to the RAW source while ``transform``
-        # starts at the guess, so any non-identity guess is double-counted
-        # in the reported transform (steps already realize the full
-        # alignment; composing them onto the guess adds it again) — seeding
-        # is simply broken there.  We start ``c = guess(source)`` so
-        # ``steps ∘ guess`` is the correct pose.  Identity-guess behavior
-        # (all parity tests, the reference's own usage) is unchanged.
-        big = jnp.full(source.batch_shape, jnp.finfo(source.dtype).max, dtype=source.dtype)
-        c0 = geometry.apply(guess, source.points)
-        return Vanilla3dState(guess, c0, source, target, big)
+    init = working_copy_init
 
     def iterate(state: Vanilla3dState) -> Vanilla3dState:
         src, tgt = state.source, state.target
@@ -90,11 +109,6 @@ def create(config: Config) -> Method:
             mean_nn_dist=_mean_distance(dist, src.mask, src.count),
         )
 
-    def cost(state: Vanilla3dState) -> Array:
-        if parity:
-            # Driver-visible cost is 0.0: base-class matches stay empty
-            # (see module doc).
-            return jnp.zeros(state.mean_nn_dist.shape, dtype=state.mean_nn_dist.dtype)
-        return state.mean_nn_dist
-
-    return Method(name="vanilla", dim=3, init=init, iterate=iterate, cost=cost)
+    return Method(
+        name="vanilla", dim=3, init=init, iterate=iterate, cost=make_parity_cost(parity)
+    )

@@ -68,7 +68,14 @@ def converge_multiscale(
             config.max_iterations is None
             or coarse_max_iterations < config.max_iterations
         ):
-            cfg = dataclasses.replace(config, max_iterations=coarse_max_iterations)
+            coarse_min = config.min_iterations
+            if coarse_min is not None:
+                coarse_min = min(coarse_min, coarse_max_iterations)
+            cfg = dataclasses.replace(
+                config,
+                max_iterations=coarse_max_iterations,
+                min_iterations=coarse_min,
+            )
         result, _ = converge(method, decimate(source, f), decimate(target, f), current, cfg)
         current = result.transform
     return converge(method, source, target, current, config)
