@@ -176,14 +176,14 @@ def converge(
         config, cost0, iter0, state0.transform, has_last0, cost0, state0.transform
     )
 
-    carry0 = (state0, cost0, iter0, active0, has_last0, cost0, state0.transform)
+    carry0 = (state0, cost0, iter0, active0, has_last0)
 
     def cond_fn(carry):
-        _, _, _, active, _, _, _ = carry
+        *_, active, _ = carry
         return jnp.any(active)
 
     def body_fn(carry):
-        state, cost, iteration, active, has_last, _, _ = carry
+        state, cost, iteration, active, has_last = carry
         last_cost, last_transform = cost, state.transform
 
         new_state = method.iterate(state)
@@ -202,9 +202,9 @@ def converge(
         still = ~_should_terminate(
             config, cost, iteration, state.transform, has_last, last_cost, last_transform
         )
-        return (state, cost, iteration, active & still, has_last, last_cost, last_transform)
+        return (state, cost, iteration, active & still, has_last)
 
-    state, cost, iteration, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, carry0)
+    state, cost, iteration, _, _ = jax.lax.while_loop(cond_fn, body_fn, carry0)
     return ConvergenceState(cost, iteration, state.transform), state
 
 

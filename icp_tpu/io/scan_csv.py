@@ -56,10 +56,11 @@ def parse_lidar_scan_batch(
 ) -> PointCloud:
     """Load many scan CSVs into one batched padded cloud ``(T, N, 2)``.
 
-    Uses the native threaded loader (``native/icptpu_parse_scan_batch``)
-    when available — file IO and float parsing parallelize across cores —
-    with a sequential Python fallback.  ``capacity`` defaults to the largest
-    scan rounded up to the sublane multiple.
+    With an explicit ``capacity``, the native threaded loader
+    (``native/icptpu_parse_scan_batch``) parses all files in parallel when
+    available.  With ``capacity=None`` a Python sizing pass parses each file
+    once (arrays reused — no second parse) and the capacity becomes the
+    largest scan rounded up to the sublane multiple.
     """
     import jax.numpy as jnp
 
@@ -67,6 +68,8 @@ def parse_lidar_scan_batch(
     from ..utils.native import native_lib
 
     paths = list(paths)
+    if not paths:
+        raise ValueError("parse_lidar_scan_batch: empty path list")
     arrays = None
     if capacity is None:
         # Sizing pass parses everything once; keep the arrays so the

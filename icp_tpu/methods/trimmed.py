@@ -95,7 +95,11 @@ def trim_weights(costs: Array, valid_count: Array, overlap_rate: float, dtype) -
         jnp.asarray(overlap_rate, dtype=dtype) * valid_count.astype(dtype)
     ).astype(jnp.int32)
     keep = jnp.maximum(keep, 1)  # ``trimmed.cpp:58``
-    return (ranks < keep[..., None]).astype(dtype)
+    # Padded slots (cost +inf) can only be selected when the cloud has no
+    # valid points at all (keep's floor of 1); zero them so an empty cloud
+    # yields an identity step (documented deviation, as in trimmed_3d)
+    # instead of dragging a padding point onto the target.
+    return (ranks < keep[..., None]).astype(dtype) * jnp.isfinite(costs).astype(dtype)
 
 
 def _compute_matches(a_current: Array, target: PointCloud, source_mask: Array):

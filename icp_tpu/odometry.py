@@ -167,7 +167,7 @@ def stream_odometry(
     """
     from .driver import make_converge_fn
 
-    fns: dict[tuple, object] = {}
+    fn = make_converge_fn(method, config)  # jit specializes per shape itself
     keyframe = None
     kf_pose = None
     pose = None
@@ -179,10 +179,7 @@ def stream_odometry(
             pose = kf_pose
             yield pose, True, None
             continue
-        key = (scan.capacity, keyframe.capacity)
-        if key not in fns:
-            fns[key] = make_converge_fn(method, config)
-        result, _ = fns[key](keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
+        result, _ = fn(keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
         # keyframe->scan registration transform T: pose advances by inv(T).
         pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
         delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))

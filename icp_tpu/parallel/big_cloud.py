@@ -69,6 +69,10 @@ def big_cloud_converge(
     target sharded forever and rotates shards with ``ppermute`` each
     iteration (per-device memory O(M/P) — the beyond-HBM regime).
     """
+    if (angle_tolerance is None) != (translation_tolerance is None):
+        raise ValueError(
+            "angle_tolerance and translation_tolerance must be set together"
+        )
     n_shards = mesh.shape[POINT_AXIS]
     if source_points.shape[0] % n_shards or target_points.shape[0] % n_shards:
         raise ValueError("point capacities must divide the points axis size")

@@ -59,7 +59,6 @@ def make_sharded_converge_fn(
     :func:`icp_tpu.driver.converge`.
     """
     src_s, tgt_s, guess_s = sharded_converge_shardings(mesh, shard_points)
-    out_s = NamedSharding(mesh, P())  # small per-pair outputs: replicated-compatible
 
     def fn(source: PointCloud, target: PointCloud, guess: RigidTransform):
         return converge(method, source, target, guess, config)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.nn import nearest_neighbors
+from ..ops.nn import masked_min_with_index, nearest_neighbors
 from .mesh import POINT_AXIS
 
 Array = jax.Array
@@ -73,9 +73,8 @@ def sharded_nearest_neighbors(
         # take the first-occurrence minimum.
         sq_all = jax.lax.all_gather(sq_local, POINT_AXIS)  # (P, N)
         idx_all = jax.lax.all_gather(gidx_local, POINT_AXIS)  # (P, N)
-        best_shard = jnp.argmin(sq_all, axis=0)  # ties -> lower shard -> lower idx
-        sq = jnp.take_along_axis(sq_all, best_shard[None, :], axis=0)[0]
-        idx = jnp.take_along_axis(idx_all, best_shard[None, :], axis=0)[0]
-        return sq, idx
+        # First-occurrence min over shards == lower shard == lower global
+        # index on ties (shards hold ascending index ranges).
+        return masked_min_with_index(sq_all, idx_all, axis=0)
 
     return _kernel(query, targets, target_mask)

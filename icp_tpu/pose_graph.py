@@ -198,9 +198,18 @@ def register_loop_closures(
     from . import cloud as cloud_mod
     from .driver import converge
 
-    cand = np.asarray(candidates)
+    cand = np.asarray(candidates).reshape(-1, 2)
     if cand.size == 0:
-        return candidates, None, None
+        dim = poses.dim
+        empty_tf = RigidTransform(
+            jnp.zeros((0, dim, dim), dtype=poses.dtype),
+            jnp.zeros((0, dim), dtype=poses.dtype),
+        )
+        return (
+            jnp.zeros((0, 2), dtype=jnp.int32),
+            empty_tf,
+            jnp.zeros((0,), dtype=poses.dtype),
+        )
     i, j = cand[:, 0], cand[:, 1]
     src = cloud_mod.PointCloud(clouds.points[j], clouds.count[j])
     tgt = cloud_mod.PointCloud(clouds.points[i], clouds.count[i])
@@ -243,7 +252,7 @@ def graph_from_trajectory(
     )
     meas = odometry_measurements
     weights = jnp.full((t - 1,), odometry_weight, dtype=dtype)
-    if loop_edges is not None:
+    if loop_edges is not None and loop_edges.shape[0] > 0:
         ij = jnp.concatenate([ij, loop_edges.astype(jnp.int32)], axis=0)
         meas = RigidTransform(
             jnp.concatenate([meas.rotation, loop_measurements.rotation], axis=0),

@@ -38,9 +38,11 @@ class Timing:
 
 def time_fn(fn, *args, runs: int = 10, warmup: int = 1) -> Timing:
     """Wall-clock a jitted function, blocking on device completion."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(runs):
         out = fn(*args)
