@@ -281,14 +281,24 @@ def cmd_odometry(args):
     import icp_tpu as icp
     from . import odometry
 
+    dim = 3 if args.ply else 2
+
+    if args.ply:
+        clouds = [
+            icp.from_points(icp.read_ply(p), dtype=np.float32) for p in args.scans
+        ]
+        cap = max(c.capacity for c in clouds)
+        scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
     if args.scan_to_map:
         from . import mapping
 
-        clouds = [_load_scan(p) for p in args.scans]
+        clouds = (
+            clouds if args.ply else [_load_scan(p) for p in args.scans]
+        )
         cap = max(c.capacity for c in clouds)
         clouds = [icp.pad_to(c, cap) for c in clouds]
         cfg = _driver_config(args)
-        method = _make_method(args.method, 2, _parse_config(args.config))
+        method = _make_method(args.method, dim, _parse_config(args.config))
         for t, (pose, is_kf, result) in enumerate(
             mapping.scan_to_map_odometry(
                 clouds, method, cfg,
@@ -307,16 +317,17 @@ def cmd_odometry(args):
             print(json.dumps(rec))
         return
 
-    if all(not p.endswith(".conf") for p in args.scans):
-        # Bulk path: the native threaded loader parses all CSVs in parallel.
-        from .io import parse_lidar_scan_batch
+    if not args.ply:
+        if all(not p.endswith(".conf") for p in args.scans):
+            # Bulk path: the native threaded loader parses all CSVs in parallel.
+            from .io import parse_lidar_scan_batch
 
-        scans = parse_lidar_scan_batch(args.scans)
-    else:
-        clouds = [_load_scan(p) for p in args.scans]
-        cap = max(c.capacity for c in clouds)
-        scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
-    method = _make_method(args.method, 2, _parse_config(args.config))
+            scans = parse_lidar_scan_batch(args.scans)
+        else:
+            clouds = [_load_scan(p) for p in args.scans]
+            cap = max(c.capacity for c in clouds)
+            scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
+    method = _make_method(args.method, dim, _parse_config(args.config))
     cfg = _driver_config(args)
 
     traj = odometry.chain_scans(
@@ -450,7 +461,8 @@ def main(argv=None):
     p_bench.set_defaults(fn=cmd_bench)
 
     p_odo = sub.add_parser("odometry", help="chain a scan sequence into a trajectory")
-    p_odo.add_argument("--scans", nargs="+", required=True, help="ordered scan CSVs")
+    p_odo.add_argument("--scans", nargs="+", required=True, help="ordered scan CSVs (or PLYs with --ply)")
+    p_odo.add_argument("--ply", action="store_true", help="scans are 3D PLY clouds")
     p_odo.add_argument("-m", "--method", default="trimmed")
     p_odo.add_argument("-c", "--config", nargs="*")
     p_odo.add_argument("--optimize", action="store_true", help="pose-graph refine")
