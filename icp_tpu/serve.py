@@ -1,0 +1,191 @@
+"""Micro-batching registration server (host-side serving runtime).
+
+The TPU earns its throughput on batches (bench: ~15k pairs/s at B=1024 vs
+~60 pairs/s if pairs were registered one-by-one at ~70 ms/dispatch), but
+serving clients submit single pairs.  :class:`BatchingRegistrar` bridges the
+two: requests queue on the host, a worker thread drains up to
+``max_batch_size`` of them (waiting at most ``max_delay`` for stragglers),
+pads them into one fixed-capacity batch, runs the jitted batched converge,
+and resolves per-request futures.
+
+Shape discipline keeps compiles bounded: clouds are padded to the
+configured ``capacity`` buckets, so the server compiles one program per
+(bucket, batch-size) pair; batches are padded up to ``max_batch_size`` with
+duplicate lanes so steady-state serving reuses ONE compiled program.
+
+This is deliberately a small, dependency-free piece of host runtime (queue +
+thread + futures) — transport (gRPC/HTTP) is the caller's choice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from . import geometry
+from .cloud import PointCloud, round_up
+from .driver import DriverConfig, make_converge_fn
+from .geometry import RigidTransform
+from .methods.base import Method
+
+
+@dataclasses.dataclass
+class RegistrationResult:
+    rotation: np.ndarray
+    translation: np.ndarray
+    iterations: int
+    cost: float
+
+
+@dataclasses.dataclass
+class _Request:
+    source: np.ndarray  # (n, D)
+    target: np.ndarray  # (m, D)
+    guess_rotation: np.ndarray
+    guess_translation: np.ndarray
+    future: Future
+
+
+class BatchingRegistrar:
+    """Thread-backed micro-batcher over the jitted batched converge."""
+
+    def __init__(
+        self,
+        method: Method,
+        config: DriverConfig,
+        capacity: int = 1024,
+        max_batch_size: int = 256,
+        max_delay: float = 0.005,
+        dtype=np.float32,
+    ):
+        self._method = method
+        self._capacity = capacity
+        self._max_batch = max_batch_size
+        self._max_delay = max_delay
+        self._dtype = dtype
+        self._fn = make_converge_fn(method, config)
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+        self._closed = False
+
+    # -- client API --------------------------------------------------------
+
+    def submit(
+        self,
+        source: np.ndarray,
+        target: np.ndarray,
+        guess: RigidTransform | None = None,
+    ) -> Future:
+        """Queue one pair; returns a Future[RegistrationResult]."""
+        if self._closed:
+            raise RuntimeError("registrar is closed")
+        if not self._started:
+            self._started = True
+            self._worker.start()
+        source = np.asarray(source, dtype=self._dtype)
+        target = np.asarray(target, dtype=self._dtype)
+        if max(len(source), len(target)) > self._capacity:
+            raise ValueError(
+                f"cloud exceeds server capacity {self._capacity}; "
+                "configure a larger bucket"
+            )
+        dim = source.shape[1]
+        if guess is None:
+            gr = np.eye(dim, dtype=self._dtype)
+            gt = np.zeros(dim, dtype=self._dtype)
+        else:
+            gr = np.asarray(guess.rotation, dtype=self._dtype)
+            gt = np.asarray(guess.translation, dtype=self._dtype)
+        fut: Future = Future()
+        self._queue.put(_Request(source, target, gr, gt, fut))
+        return fut
+
+    def register(self, source, target, guess=None, timeout=None) -> RegistrationResult:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(source, target, guess).result(timeout=timeout)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._started:
+            self._queue.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker ------------------------------------------------------------
+
+    def _drain(self) -> list[_Request] | None:
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        while len(batch) < self._max_batch:
+            try:
+                item = self._queue.get(timeout=self._max_delay)
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-post shutdown for the outer loop
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self) -> None:
+        import jax.numpy as jnp
+
+        while True:
+            batch = self._drain()
+            if batch is None:
+                return
+            n = len(batch)
+            # Pad the batch to max_batch_size with duplicates of lane 0 so
+            # steady-state serving reuses one compiled program.
+            padded = batch + [batch[0]] * (self._max_batch - n)
+            dim = batch[0].source.shape[1]
+            cap = self._capacity
+
+            def stack_clouds(key):
+                pts = np.zeros((self._max_batch, cap, dim), dtype=self._dtype)
+                counts = np.zeros(self._max_batch, dtype=np.int32)
+                for i, r in enumerate(padded):
+                    arr = getattr(r, key)
+                    pts[i, : len(arr)] = arr
+                    counts[i] = len(arr)
+                return PointCloud(jnp.asarray(pts), jnp.asarray(counts))
+
+            try:
+                src = stack_clouds("source")
+                tgt = stack_clouds("target")
+                guess = RigidTransform(
+                    jnp.asarray(np.stack([r.guess_rotation for r in padded])),
+                    jnp.asarray(np.stack([r.guess_translation for r in padded])),
+                )
+                result, _ = self._fn(src, tgt, guess)
+                rot = np.asarray(result.transform.rotation)
+                trans = np.asarray(result.transform.translation)
+                iters = np.asarray(result.iteration_count)
+                costs = np.asarray(result.cost)
+            except Exception as exc:  # resolve futures rather than dying
+                for r in batch:
+                    r.future.set_exception(exc)
+                continue
+            for i, r in enumerate(batch):
+                r.future.set_result(
+                    RegistrationResult(
+                        rotation=rot[i],
+                        translation=trans[i],
+                        iterations=int(iters[i]),
+                        cost=float(costs[i]),
+                    )
+                )

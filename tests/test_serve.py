@@ -1,0 +1,81 @@
+"""Micro-batching registration server tests."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import icp_tpu as icp
+from icp_tpu.serve import BatchingRegistrar
+
+
+def make_pair(rng, shift):
+    a = rng.uniform(-20, 20, (48, 2))
+    return a, a + shift
+
+
+def test_single_request(rng):
+    a, b = make_pair(rng, np.array([1.5, -0.5]))
+    with BatchingRegistrar(
+        icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0)),
+        icp.DriverConfig(max_iterations=30, angle_tolerance=1e-4, translation_tolerance=1e-4),
+        capacity=64,
+        max_batch_size=8,
+        dtype=np.float64,
+    ) as server:
+        result = server.register(a, b, timeout=120)
+    np.testing.assert_allclose(result.translation, [1.5, -0.5], atol=1e-3)
+    assert result.iterations > 0
+
+
+def test_concurrent_clients_batched(rng):
+    """Many threads submit different pairs; every client gets ITS answer."""
+    shifts = [np.array([0.5 * k, -0.25 * k]) for k in range(12)]
+    pairs = [make_pair(rng, s) for s in shifts]
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0)),
+        icp.DriverConfig(max_iterations=30, angle_tolerance=1e-4, translation_tolerance=1e-4),
+        capacity=64,
+        max_batch_size=8,
+        max_delay=0.05,
+        dtype=np.float64,
+    )
+    results = [None] * len(pairs)
+
+    def client(k):
+        a, b = pairs[k]
+        results[k] = server.register(a, b, timeout=300)
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(len(pairs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.close()
+    for k, s in enumerate(shifts):
+        np.testing.assert_allclose(results[k].translation, s, atol=1e-3)
+
+
+def test_oversized_cloud_rejected(rng):
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2),
+        icp.DriverConfig(max_iterations=5),
+        capacity=32,
+        dtype=np.float64,
+    )
+    big = rng.uniform(-5, 5, (100, 2))
+    with pytest.raises(ValueError, match="exceeds server capacity"):
+        server.submit(big, big)
+    server.close()
+
+
+def test_submit_after_close_raises(rng):
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2), icp.DriverConfig(max_iterations=5),
+        capacity=32, dtype=np.float64,
+    )
+    a, b = make_pair(rng, np.array([0.1, 0.1]))
+    server.register(a[:20], b[:20], timeout=120)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit(a[:20], b[:20])
