@@ -151,6 +151,8 @@ def cmd_register(args):
         moved = np.asarray(geometry.apply(result.transform, source.points))[
             : int(source.count)
         ]
+        if moved.shape[1] == 2:  # PLY vertices are xyz; pad z = 0 for 2D scans
+            moved = np.column_stack([moved, np.zeros(len(moved), dtype=moved.dtype)])
         write_ply(args.out_ply, moved)
         print(f"wrote {args.out_ply}")
 
@@ -288,23 +290,33 @@ def cmd_odometry(args):
             icp.from_points(icp.read_ply(p), dtype=np.float32) for p in args.scans
         ]
         cap = max(c.capacity for c in clouds)
-        scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
+        clouds = [icp.pad_to(c, cap) for c in clouds]
+        if not args.scan_to_map:
+            scans = icp.stack(clouds)
     if args.scan_to_map:
         from . import mapping
 
-        clouds = (
-            clouds if args.ply else [_load_scan(p) for p in args.scans]
-        )
-        cap = max(c.capacity for c in clouds)
-        clouds = [icp.pad_to(c, cap) for c in clouds]
+        for flag in ("optimize", "loop_radius", "coarse", "multiscale"):
+            if getattr(args, flag):
+                print(
+                    f"warning: --{flag.replace('_', '-')} is not supported with "
+                    "--scan-to-map and is ignored",
+                    file=sys.stderr,
+                )
+        if not args.ply:
+            clouds = [_load_scan(p) for p in args.scans]
+            cap = max(c.capacity for c in clouds)
+            clouds = [icp.pad_to(c, cap) for c in clouds]
         cfg = _driver_config(args)
         method = _make_method(args.method, dim, _parse_config(args.config))
+        poses_list = []
         for t, (pose, is_kf, result) in enumerate(
             mapping.scan_to_map_odometry(
                 clouds, method, cfg,
                 voxel_size=args.voxel_size, map_capacity=args.map_capacity,
             )
         ):
+            poses_list.append(pose)
             rec = {
                 "scan": args.scans[t],
                 "rotation": np.asarray(pose.rotation).tolist(),
@@ -315,6 +327,22 @@ def cmd_odometry(args):
                 rec["iterations"] = int(result.iteration_count)
                 rec["cost"] = float(result.cost)
             print(json.dumps(rec))
+        import jax.numpy as _jnp
+
+        poses = icp.RigidTransform(
+            _jnp.stack([p.rotation for p in poses_list]),
+            _jnp.stack([p.translation for p in poses_list]),
+        )
+        if args.render:
+            from .vis import render_trajectory
+
+            render_trajectory(args.render, poses, scans=icp.stack(clouds))
+            print(f"wrote {args.render}", file=sys.stderr)
+        if args.save:
+            from .checkpoint import save_pytree
+
+            save_pytree(args.save, {"rotation": poses.rotation, "translation": poses.translation})
+            print(f"saved trajectory to {args.save}", file=sys.stderr)
         return
 
     if not args.ply:

@@ -83,7 +83,8 @@ def chain_scans(
     seeding is the caller's choice; identity by default.  ``coarse=True``
     (2D) seeds every pair with the global bearing-histogram rotation search
     (``ops/coarse.py``), making sharp turns between consecutive scans (30+
-    degrees, outside plain ICP's basin from identity) recoverable.
+    degrees, outside plain ICP's basin from identity) recoverable; 3D uses
+    the principal-axes candidates (``coarse_align_3d``).
     ``multiscale=True`` registers each pair through the coarse-to-fine
     pyramid (``icp_tpu.multiscale``, ~3x cheaper per pair at scan scale).
     """
@@ -94,11 +95,9 @@ def chain_scans(
     sources = PointCloud(scans.points[:-1], scans.count[:-1])
     targets = PointCloud(scans.points[1:], scans.count[1:])
     if guesses is None and coarse:
-        if dim != 2:
-            raise ValueError("coarse seeding is 2D-only")
-        from .ops.coarse import coarse_align_2d
+        from .ops.coarse import coarse_align_2d, coarse_align_3d
 
-        guesses = coarse_align_2d(sources, targets)
+        guesses = (coarse_align_2d if dim == 2 else coarse_align_3d)(sources, targets)
     elif guesses is None:
         guesses = geometry.identity(dim, (t_total - 1,), dtype=scans.dtype)
     if initial is None:

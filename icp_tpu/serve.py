@@ -8,10 +8,9 @@ two: requests queue on the host, a worker thread drains up to
 pads them into one fixed-capacity batch, runs the jitted batched converge,
 and resolves per-request futures.
 
-Shape discipline keeps compiles bounded: clouds are padded to the
-configured ``capacity`` buckets, so the server compiles one program per
-(bucket, batch-size) pair; batches are padded up to ``max_batch_size`` with
-duplicate lanes so steady-state serving reuses ONE compiled program.
+Shape discipline keeps compiles bounded: clouds are padded to the single
+configured ``capacity`` and batches are padded up to ``max_batch_size`` with
+duplicate lanes, so steady-state serving reuses ONE compiled program.
 
 This is deliberately a small, dependency-free piece of host runtime (queue +
 thread + futures) — transport (gRPC/HTTP) is the caller's choice.
@@ -22,12 +21,12 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
-from concurrent.futures import Future
+import time
+from concurrent.futures import Future, InvalidStateError
 
 import numpy as np
 
-from . import geometry
-from .cloud import PointCloud, round_up
+from .cloud import PointCloud
 from .driver import DriverConfig, make_converge_fn
 from .geometry import RigidTransform
 from .methods.base import Method
@@ -70,6 +69,7 @@ class BatchingRegistrar:
         self._fn = make_converge_fn(method, config)
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._lock = threading.Lock()
         self._started = False
         self._closed = False
 
@@ -82,19 +82,20 @@ class BatchingRegistrar:
         guess: RigidTransform | None = None,
     ) -> Future:
         """Queue one pair; returns a Future[RegistrationResult]."""
-        if self._closed:
-            raise RuntimeError("registrar is closed")
-        if not self._started:
-            self._started = True
-            self._worker.start()
         source = np.asarray(source, dtype=self._dtype)
         target = np.asarray(target, dtype=self._dtype)
         if max(len(source), len(target)) > self._capacity:
             raise ValueError(
-                f"cloud exceeds server capacity {self._capacity}; "
-                "configure a larger bucket"
+                f"cloud exceeds server capacity {self._capacity}"
             )
         dim = source.shape[1]
+        # Per-request validation: a malformed request must fail alone, not
+        # poison the whole batch it would be co-batched with.
+        if target.shape[1] != dim or dim != self._method.dim:
+            raise ValueError(
+                f"dimension mismatch: source {dim}D, target {target.shape[1]}D, "
+                f"server method is {self._method.dim}D"
+            )
         if guess is None:
             gr = np.eye(dim, dtype=self._dtype)
             gt = np.zeros(dim, dtype=self._dtype)
@@ -102,7 +103,13 @@ class BatchingRegistrar:
             gr = np.asarray(guess.rotation, dtype=self._dtype)
             gt = np.asarray(guess.translation, dtype=self._dtype)
         fut: Future = Future()
-        self._queue.put(_Request(source, target, gr, gt, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("registrar is closed")
+            if not self._started:
+                self._started = True
+                self._worker.start()
+            self._queue.put(_Request(source, target, gr, gt, fut))
         return fut
 
     def register(self, source, target, guess=None, timeout=None) -> RegistrationResult:
@@ -110,11 +117,14 @@ class BatchingRegistrar:
         return self.submit(source, target, guess).result(timeout=timeout)
 
     def close(self) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        if self._started:
-            self._queue.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            started = self._started
+            if started:
+                self._queue.put(None)
+        if started:
             self._worker.join()
 
     def __enter__(self):
@@ -130,9 +140,15 @@ class BatchingRegistrar:
         if first is None:
             return None
         batch = [first]
+        # One deadline from the FIRST request — a trickle of stragglers must
+        # not keep extending the window.
+        deadline = time.monotonic() + self._max_delay
         while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                item = self._queue.get(timeout=self._max_delay)
+                item = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if item is None:
@@ -178,14 +194,20 @@ class BatchingRegistrar:
                 costs = np.asarray(result.cost)
             except Exception as exc:  # resolve futures rather than dying
                 for r in batch:
-                    r.future.set_exception(exc)
+                    try:
+                        r.future.set_exception(exc)
+                    except InvalidStateError:
+                        pass  # client cancelled; never kill the worker
                 continue
             for i, r in enumerate(batch):
-                r.future.set_result(
-                    RegistrationResult(
-                        rotation=rot[i],
-                        translation=trans[i],
-                        iterations=int(iters[i]),
-                        cost=float(costs[i]),
+                try:
+                    r.future.set_result(
+                        RegistrationResult(
+                            rotation=rot[i],
+                            translation=trans[i],
+                            iterations=int(iters[i]),
+                            cost=float(costs[i]),
+                        )
                     )
-                )
+                except InvalidStateError:
+                    pass  # client cancelled mid-flight
