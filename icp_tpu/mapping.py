@@ -15,6 +15,12 @@ Division of labor, TPU-style:
 
 ``voxel_downsample`` keeps one representative point (the centroid of the
 voxel's members) per occupied cell — the standard grid filter.
+
+Method recommendation: use the ``robust`` (Welsch) method for scan-to-map.
+The aggregated map always contains regions the current scan does not
+observe; hard-overlap methods (``trimmed``) drag poses toward that
+non-overlap and the error feeds back into the map (measured on a noisy
+25-scan loop: trimmed end drift 1.13 units vs robust 0.005).
 """
 
 from __future__ import annotations

@@ -35,13 +35,17 @@ def test_scan_to_map_beats_scan_to_scan_drift(rng):
         pts += rng.normal(0, 0.02, pts.shape)
         scans.append(icp.from_points(pts, capacity=160, dtype=np.float64))
 
+    # Scan-to-scan front-end uses trimmed; scan-to-map uses the recommended
+    # robust method (the map's non-overlap regions otherwise drag poses —
+    # see the mapping module doc).
     method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    robust = icp.from_method("robust", 2)
     cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5)
 
     s2s = list(icp.odometry.stream_odometry(scans, method, cfg, 0.5, 0.2))
     s2m = list(
         mapping.scan_to_map_odometry(
-            scans, method, cfg, voxel_size=0.05, map_capacity=2048,
+            scans, robust, cfg, voxel_size=0.05, map_capacity=2048,
             keyframe_translation=0.5, keyframe_angle=0.2,
         )
     )
@@ -51,8 +55,8 @@ def test_scan_to_map_beats_scan_to_scan_drift(rng):
     err_s2s = float(np.linalg.norm(np.asarray(s2s[-1][0].translation)))
     err_s2m = float(np.linalg.norm(np.asarray(s2m[-1][0].translation)))
     assert err_s2m <= err_s2s * 1.2 + 1e-6, (err_s2m, err_s2s)
-    # And absolute quality: within a few cm of closing the loop.
-    assert err_s2m < 0.15, err_s2m
+    # Robust scan-to-map closes the loop tightly.
+    assert err_s2m < 0.05, err_s2m
 
 
 def test_scan_to_map_first_scan_exceeding_capacity(rng):
