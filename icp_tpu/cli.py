@@ -296,6 +296,13 @@ def cmd_odometry(args):
     if args.scan_to_map:
         from . import mapping
 
+        if args.method in ("trimmed", "vanilla", "feature_aware"):
+            print(
+                f"hint: method '{args.method}' is a hard-overlap method; the "
+                "aggregated map always contains unobserved regions, so "
+                "'robust' tracks scan-to-map far better (see docs/deployment.md)",
+                file=sys.stderr,
+            )
         for flag in ("optimize", "loop_radius", "coarse", "multiscale"):
             if getattr(args, flag):
                 print(
