@@ -79,3 +79,37 @@ def test_submit_after_close_raises(rng):
     server.close()
     with pytest.raises(RuntimeError):
         server.submit(a[:20], b[:20])
+
+
+def test_cancelled_future_does_not_kill_worker(rng):
+    """Regression: resolving a client-cancelled Future must not raise inside
+    the worker thread (InvalidStateError would kill it and hang all later
+    requests)."""
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0)),
+        icp.DriverConfig(max_iterations=10, angle_tolerance=1e-3, translation_tolerance=1e-2),
+        capacity=64,
+        max_batch_size=4,
+        max_delay=0.2,
+        dtype=np.float64,
+    )
+    a, b = make_pair(rng, np.array([0.4, 0.2]))
+    doomed = server.submit(a, b)
+    assert doomed.cancel()  # queued, not yet running -> cancels
+    # The server must still serve subsequent requests.
+    result = server.register(a, b, timeout=300)
+    server.close()
+    np.testing.assert_allclose(result.translation, [0.4, 0.2], atol=1e-2)
+
+
+def test_dimension_mismatch_rejected_per_request(rng):
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2),
+        icp.DriverConfig(max_iterations=5),
+        capacity=64,
+        dtype=np.float64,
+    )
+    bad3d = rng.uniform(-5, 5, (10, 3))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        server.submit(bad3d, bad3d)
+    server.close()
