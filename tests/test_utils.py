@@ -91,3 +91,16 @@ def test_render_registration_frames(tmp_path):
     assert len(dumps) == 3
     assert (tmp_path / "frame_0000.png").exists()
     assert (tmp_path / "frame_0002.png").exists()
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from icp_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.arange(8.0)))
+    # The profiler writes a plugins/profile tree with at least one artifact.
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files), files
