@@ -1,5 +1,6 @@
 """Odometry chaining + pose-graph optimization tests (net-new subsystems)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -255,3 +256,39 @@ def test_slam_pipeline_end_to_end(rng):
 
     assert end_err(traj.poses) > 0.1  # noise accumulated real drift
     assert end_err(opt.poses) < 0.2 * end_err(traj.poses)
+
+
+def test_pose_graph_vmap_fleet(rng):
+    """optimize() composes with vmap: a fleet of graphs (shared topology,
+    different poses/measurements) optimizes in one batched program."""
+    import dataclasses
+
+    t_steps, fleet = 5, 3
+    base_xi = rng.uniform(-0.3, 0.3, (fleet, t_steps - 1, 3))
+
+    graphs = []
+    for f in range(fleet):
+        meas = lie.se2_exp(jnp.asarray(base_xi[f]))
+        init = [geometry.RigidTransform(jnp.eye(2), jnp.zeros(2))]
+        for k in range(t_steps - 1):
+            noisy = geometry.compose(
+                geometry.RigidTransform(meas.rotation[k], meas.translation[k]),
+                lie.se2_exp(jnp.asarray(rng.normal(0, 0.05, 3))),
+            )
+            init.append(geometry.compose(init[-1], noisy))
+        poses0 = geometry.RigidTransform(
+            jnp.stack([p.rotation for p in init]), jnp.stack([p.translation for p in init])
+        )
+        graphs.append(pose_graph.graph_from_trajectory(poses0, meas))
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+
+    def solve_one(g):
+        opt, costs = pose_graph.optimize(g, iterations=8)
+        return opt.poses.translation, costs[-1]
+
+    trans_b, final_b = jax.vmap(solve_one)(stacked)
+    for f in range(fleet):
+        t_ref, c_ref = solve_one(graphs[f])
+        np.testing.assert_allclose(np.asarray(trans_b[f]), np.asarray(t_ref), atol=1e-9)
+        assert float(final_b[f]) < 1e-10  # odometry-only graphs solve exactly
