@@ -22,7 +22,10 @@ TPU-native formulation:
   MXU); exact manifold retraction via ``icp_tpu.lie``.
 
 Config: ``neighbors`` (int, default 20), ``cov_epsilon`` (float, default
-1e-3), ``max_distance`` (float, optional correspondence gate), ``dim``.
+1e-3), ``max_distance`` (float, optional correspondence gate),
+``line_search`` (int/bool, default 1: per-lane step-halving safeguard — the
+full and half Gauss-Newton steps are scored by Mahalanobis cost under the
+current correspondences and the better one is taken, batched), ``dim``.
 """
 
 from __future__ import annotations
@@ -158,6 +161,7 @@ def create(config: Config) -> Method:
     k = int(config.get("neighbors", DEFAULT_NEIGHBORS))
     eps = float(config.get("cov_epsilon", DEFAULT_COV_EPSILON))
     max_distance = config.get("max_distance", None)  # None = no gate; 0.0 respected
+    line_search = bool(config.get("line_search", 1))
     dim = int(config.get("dim", 3))
 
     def _mahalanobis(a_cur, rot, cov_a, cov_b, points_b, idx):
@@ -211,17 +215,43 @@ def create(config: Config) -> Method:
             + 1e-20 * eye
         )
         xi = -jnp.linalg.solve(damped, jtr[..., None])[..., 0]
-        step = lie.exp(xi, src.dim)
-        new_transform = geometry.compose(step, state.transform)
 
-        # Stored cost is the POST-step residual under the same
-        # correspondences: without this, iteration 1's cost is bit-identical
-        # to init's (both evaluate the same pre-step state) and any
-        # delta-cost tolerance would terminate after one Gauss-Newton step.
-        a_new = geometry.apply(new_transform, src.points)
-        mahal = _mahalanobis(
-            a_new, new_transform.rotation, state.cov_a, state.cov_b, tgt.points, idx
-        )
+        def post_cost(transform):
+            a_new = geometry.apply(transform, src.points)
+            mahal = _mahalanobis(
+                a_new, transform.rotation, state.cov_a, state.cov_b, tgt.points, idx
+            )
+            m = jnp.where(src.mask, mahal, 0.0)
+            n = jnp.maximum(src.count.astype(m.dtype), 1.0)
+            return mahal, jnp.sum(m, axis=-1) / n
+
+        t_full = geometry.compose(lie.exp(xi, src.dim), state.transform)
+        if line_search:
+            # Per-lane step-halving safeguard: score the full and half GN
+            # steps under the CURRENT correspondences (no extra NN pass)
+            # and take the better; protects strongly anisotropic covariance
+            # problems where the linearization overshoots.
+            t_half = geometry.compose(lie.exp(0.5 * xi, src.dim), state.transform)
+            mahal_f, mean_f = post_cost(t_full)
+            mahal_h, mean_h = post_cost(t_half)
+            take_full = mean_f <= mean_h  # (...,)
+
+            def sel(full, half):
+                cond = take_full.reshape(take_full.shape + (1,) * (full.ndim - take_full.ndim))
+                return jnp.where(cond, full, half)
+
+            new_transform = geometry.RigidTransform(
+                sel(t_full.rotation, t_half.rotation),
+                sel(t_full.translation, t_half.translation),
+            )
+            mahal = sel(mahal_f, mahal_h)
+        else:
+            new_transform = t_full
+            # Stored cost is the POST-step residual under the same
+            # correspondences: without this, iteration 1's cost would be
+            # bit-identical to init's and delta-cost tolerances would
+            # terminate after one Gauss-Newton step.
+            mahal, _ = post_cost(new_transform)
         cost = jnp.where(src.mask, mahal, jnp.inf)
         return dataclasses.replace(
             state,

@@ -214,3 +214,22 @@ def test_gn_methods_progress_under_cost_tolerance(rng, name):
         geometry.rotation_angle_3d(jnp.asarray(rot.T) @ result.transform.rotation)
     )
     assert err < 0.02, err
+
+
+def test_gicp_line_search_never_worse(rng):
+    """The step-halving safeguard must not degrade a well-conditioned solve,
+    and with line_search=0 the plain GN path still works."""
+    a_pts = surface_cloud_3d(rng, n=200)
+    rot = rot_zyx(0.05, 0.03, 0.08)
+    b_pts = a_pts @ rot.T + [0.3, -0.1, 0.2]
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    cfg = icp.DriverConfig(max_iterations=40, angle_tolerance=1e-5, translation_tolerance=1e-5)
+
+    for ls in (1, 0):
+        method = icp.from_method("gicp", 3, icp.Config(neighbors=10, line_search=ls))
+        result, _ = icp.converge(method, a, b, icp.identity(3, dtype=np.float64), cfg)
+        err = float(
+            geometry.rotation_angle_3d(jnp.asarray(rot.T) @ result.transform.rotation)
+        )
+        assert err < 5e-3, (ls, err)
