@@ -23,9 +23,10 @@ TPU-native formulation:
 
 Config: ``neighbors`` (int, default 20), ``cov_epsilon`` (float, default
 1e-3), ``max_distance`` (float, optional correspondence gate),
-``line_search`` (int/bool, default 1: per-lane step-halving safeguard — the
-full and half Gauss-Newton steps are scored by Mahalanobis cost under the
-current correspondences and the better one is taken, batched), ``dim``.
+``line_search`` (int/bool, default 1: per-lane safeguarded step selection —
+the full, half, and ZERO Gauss-Newton steps are scored by the gated
+Mahalanobis cost under the current correspondences and the best is taken,
+batched; a lane whose linearization overshoots holds its pose), ``dim``.
 """
 
 from __future__ import annotations
@@ -61,10 +62,9 @@ def surfel_covariances(points: Array, mask: Array, k: int, eps: float) -> Array:
     cov = cov / sw[..., None, None]
     eigvals, eigvecs = _jacobi_eigh_sym(cov)
     # Replace eigenvalues: smallest -> eps, others -> 1.
-    order = jnp.argsort(eigvals, axis=-1)
     dim = points.shape[-1]
     new_vals = jnp.ones_like(eigvals)
-    smallest = order[..., 0]
+    smallest = jnp.argmin(eigvals, axis=-1)
     new_vals = jnp.where(
         jax.nn.one_hot(smallest, dim, dtype=bool), jnp.asarray(eps, eigvals.dtype), new_vals
     )
@@ -164,23 +164,36 @@ def create(config: Config) -> Method:
     line_search = bool(config.get("line_search", 1))
     dim = int(config.get("dim", 3))
 
-    def _mahalanobis(a_cur, rot, cov_a, cov_b, points_b, idx):
-        matched_b = jnp.take_along_axis(points_b, idx[..., None], axis=-2)
-        matched_cb = jnp.take_along_axis(cov_b, idx[..., None, None], axis=-3)
+    def _residual_weights(a_cur, rot, cov_a, matched_b, matched_cb):
+        """``(resid, w_mat)`` for the combined covariance C_b + R C_a R^T.
+
+        Single source of truth for the objective: the GN solve, the
+        line-search scoring, and the stored cost all flow through here so
+        they can never optimize/score different quantities.
+        """
         rca = jnp.einsum("...ij,...njk,...lk->...nil", rot, cov_a, rot)
         w_mat = _inv_spd(matched_cb + rca)
-        resid = a_cur - matched_b
-        return jnp.einsum("...ni,...nij,...nj->...n", resid, w_mat, resid)
+        return a_cur - matched_b, w_mat
+
+    def _gather_matches(points_b, cov_b, idx):
+        matched_b = jnp.take_along_axis(points_b, idx[..., None], axis=-2)
+        matched_cb = jnp.take_along_axis(cov_b, idx[..., None, None], axis=-3)
+        return matched_b, matched_cb
 
     def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> GicpState:
         cov_a = surfel_covariances(source.points, source.mask, k, eps)
         cov_b = surfel_covariances(target.points, target.mask, k, eps)
         a_cur = geometry.apply(guess, source.points)
         sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
-        # Same Mahalanobis units as iterate so the driver's delta-cost
-        # criteria compare like with like from the first iteration.
-        mahal = _mahalanobis(a_cur, guess.rotation, cov_a, cov_b, target.points, idx)
-        cost = jnp.where(source.mask, mahal, jnp.inf)
+        matched_b, matched_cb = _gather_matches(target.points, cov_b, idx)
+        # Same (gated) Mahalanobis units as iterate so the driver's
+        # delta-cost criteria compare like with like from iteration 1.
+        resid, w_mat = _residual_weights(a_cur, guess.rotation, cov_a, matched_b, matched_cb)
+        mahal = jnp.einsum("...ni,...nij,...nj->...n", resid, w_mat, resid)
+        gate = source.mask.astype(source.dtype)
+        if max_distance is not None:
+            gate = gate * (jnp.sqrt(sq) <= max_distance).astype(source.dtype)
+        cost = jnp.where(source.mask, mahal * gate, jnp.inf)
         return GicpState(guess, source, target, cov_a, cov_b, idx, cost)
 
     def iterate(state: GicpState) -> GicpState:
@@ -193,15 +206,11 @@ def create(config: Config) -> Method:
         if max_distance is not None:
             w_valid = w_valid * (jnp.sqrt(sq) <= max_distance).astype(src.dtype)
 
-        matched_b = jnp.take_along_axis(tgt.points, idx[..., None], axis=-2)
-        matched_cb = jnp.take_along_axis(
-            state.cov_b, idx[..., None, None], axis=-3
-        )
-        # Combined covariance: C_b + R C_a R^T, inverted in closed form.
-        rca = jnp.einsum("...ij,...njk,...lk->...nil", rot, state.cov_a, rot)
-        w_mat = _inv_spd(matched_cb + rca)  # (..., N, D, D)
+        # Transform-independent gathers, hoisted: the GN solve and every
+        # line-search scoring reuse them.
+        matched_b, matched_cb = _gather_matches(tgt.points, state.cov_b, idx)
 
-        resid = a_cur - matched_b  # (..., N, D)
+        resid, w_mat = _residual_weights(a_cur, rot, state.cov_a, matched_b, matched_cb)
         jac = _jacobian_rows(a_cur, src.dim)  # (..., N, D, dof)
 
         wj = jnp.einsum("...nij,...njk->...nik", w_mat, jac)  # (..., N, D, dof)
@@ -216,35 +225,43 @@ def create(config: Config) -> Method:
         )
         xi = -jnp.linalg.solve(damped, jtr[..., None])[..., 0]
 
+        n_gated = jnp.maximum(jnp.sum(w_valid, axis=-1), 1.0)
+
         def post_cost(transform):
+            """(per-point gated mahal, gated mean) at ``transform`` under
+            the current correspondences — the SAME gated objective the GN
+            step was fit to (ungated residuals of non-overlap points must
+            not decide step selection or drive the driver's tolerances)."""
             a_new = geometry.apply(transform, src.points)
-            mahal = _mahalanobis(
-                a_new, transform.rotation, state.cov_a, state.cov_b, tgt.points, idx
+            r, w = _residual_weights(
+                a_new, transform.rotation, state.cov_a, matched_b, matched_cb
             )
-            m = jnp.where(src.mask, mahal, 0.0)
-            n = jnp.maximum(src.count.astype(m.dtype), 1.0)
-            return mahal, jnp.sum(m, axis=-1) / n
+            mahal = jnp.einsum("...ni,...nij,...nj->...n", r, w, r) * w_valid
+            return mahal, jnp.sum(mahal, axis=-1) / n_gated
 
         t_full = geometry.compose(lie.exp(xi, src.dim), state.transform)
         if line_search:
-            # Per-lane step-halving safeguard: score the full and half GN
-            # steps under the CURRENT correspondences (no extra NN pass)
-            # and take the better; protects strongly anisotropic covariance
-            # problems where the linearization overshoots.
+            # Per-lane safeguarded step selection among {full, half, zero}:
+            # the zero-step (current transform) candidate means a lane whose
+            # GN linearization overshoots in BOTH trial steps holds its pose
+            # (transform tolerance can then terminate it) instead of
+            # committing a cost increase.
             t_half = geometry.compose(lie.exp(0.5 * xi, src.dim), state.transform)
-            mahal_f, mean_f = post_cost(t_full)
-            mahal_h, mean_h = post_cost(t_half)
-            take_full = mean_f <= mean_h  # (...,)
+            cands = [t_full, t_half, state.transform]
+            scored = [post_cost(t) for t in cands]
+            means = jnp.stack([m for _, m in scored], axis=-1)  # (..., 3)
+            best = jnp.argmin(means, axis=-1)  # ties -> full > half > zero
 
-            def sel(full, half):
-                cond = take_full.reshape(take_full.shape + (1,) * (full.ndim - take_full.ndim))
-                return jnp.where(cond, full, half)
+            def sel(values):
+                stacked = jnp.stack(values, axis=-1)  # (..., 3) trailing
+                b = best.reshape(best.shape + (1,) * (stacked.ndim - best.ndim - 1) + (1,))
+                return jnp.take_along_axis(stacked, b, axis=-1)[..., 0]
 
             new_transform = geometry.RigidTransform(
-                sel(t_full.rotation, t_half.rotation),
-                sel(t_full.translation, t_half.translation),
+                sel([t.rotation for t in cands]),
+                sel([t.translation for t in cands]),
             )
-            mahal = sel(mahal_f, mahal_h)
+            mahal = sel([m for m, _ in scored])
         else:
             new_transform = t_full
             # Stored cost is the POST-step residual under the same

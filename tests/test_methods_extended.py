@@ -233,3 +233,22 @@ def test_gicp_line_search_never_worse(rng):
             geometry.rotation_angle_3d(jnp.asarray(rot.T) @ result.transform.rotation)
         )
         assert err < 5e-3, (ls, err)
+
+
+def test_gicp_gated_cost_ignores_outliers(rng):
+    """With max_distance set, far outliers must not dominate the driver
+    cost or step selection (the gated objective is the scored one)."""
+    a_pts = surface_cloud_3d(rng, n=150)
+    rot = rot_zyx(0.0, 0.0, 0.1)
+    b_clean = a_pts @ rot.T + [0.2, -0.1, 0.05]
+    b_pts = np.concatenate([b_clean, rng.uniform(200, 300, (30, 3))])
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    method = icp.from_method("gicp", 3, icp.Config(neighbors=10, max_distance=2.0))
+    cfg = icp.DriverConfig(max_iterations=40, absolute_cost_tolerance=1e-8)
+    result, _ = icp.converge(method, a, b, icp.identity(3, dtype=np.float64), cfg)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), [0.2, -0.1, 0.05], atol=0.03
+    )
+    # Gated driver cost reflects the converged inliers, not outlier noise.
+    assert float(result.cost) < 1.0
