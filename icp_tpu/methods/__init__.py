@@ -4,11 +4,12 @@ Registered methods mirror ``lib/icp/icp.cpp:16-27``:
   2D: ``vanilla``, ``trimmed``, ``feature_aware``
   3D: ``vanilla``, ``trimmed``
 plus net-new families (beyond the reference): ``point_to_plane`` (2D/3D),
-``robust`` (Welsch-weighted IRLS, 2D/3D), and ``gicp`` (Generalized-ICP
-plane-to-plane, 2D/3D).
+``robust`` (Welsch-weighted IRLS, 2D/3D), ``gicp`` (Generalized-ICP
+plane-to-plane, 2D/3D), and ``symmetric`` (Rusinkiewicz symmetric
+objective, 2D/3D).
 """
 
-from . import feature_aware, gicp, point_to_plane, robust, trimmed, trimmed_3d, vanilla, vanilla_3d
+from . import feature_aware, gicp, point_to_plane, robust, symmetric, trimmed, trimmed_3d, vanilla, vanilla_3d
 from .base import (
     Matches,
     Method,
@@ -30,6 +31,8 @@ register_method("robust", 2, lambda cfg: robust.create(cfg.set("dim", 2)))
 register_method("robust", 3, lambda cfg: robust.create(cfg.set("dim", 3)))
 register_method("gicp", 2, lambda cfg: gicp.create(cfg.set("dim", 2)))
 register_method("gicp", 3, lambda cfg: gicp.create(cfg.set("dim", 3)))
+register_method("symmetric", 2, lambda cfg: symmetric.create(cfg.set("dim", 2)))
+register_method("symmetric", 3, lambda cfg: symmetric.create(cfg.set("dim", 3)))
 
 __all__ = [
     "Matches",

@@ -37,6 +37,8 @@ MODULES = {
     ("robust", 3): "icp_tpu.methods.robust",
     ("gicp", 2): "icp_tpu.methods.gicp",
     ("gicp", 3): "icp_tpu.methods.gicp",
+    ("symmetric", 2): "icp_tpu.methods.symmetric",
+    ("symmetric", 3): "icp_tpu.methods.symmetric",
 }
 
 

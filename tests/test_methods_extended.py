@@ -252,3 +252,49 @@ def test_gicp_gated_cost_ignores_outliers(rng):
     )
     # Gated driver cost reflects the converged inliers, not outlier noise.
     assert float(result.cost) < 1.0
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_symmetric_recovers_transform(rng, dim):
+    if dim == 2:
+        t_lin = np.linspace(-5, 5, 300)
+        a_pts = np.column_stack([t_lin, np.sin(t_lin)])
+        tf = geometry.from_angle_2d(np.float64(0.1), np.array([0.4, -0.2]))
+    else:
+        a_pts = surface_cloud_3d(rng)
+        r = rot_zyx(0.05, 0.07, 0.09)
+        tf = geometry.RigidTransform(jnp.asarray(r), jnp.asarray([0.4, -0.2, 0.15]))
+    b_pts = np.asarray(geometry.apply(tf, jnp.asarray(a_pts)))
+    method = icp.from_method("symmetric", dim, icp.Config(normal_neighbors=8))
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    result, _ = icp.converge(method, a, b, icp.identity(dim, dtype=np.float64), DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.rotation), np.asarray(tf.rotation), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(tf.translation), atol=2e-2
+    )
+
+
+def test_symmetric_converges_at_least_as_fast_as_p2l(rng):
+    """The symmetric objective's wider funnel: iterations <= point_to_plane
+    on the same surface problem."""
+    a_pts = surface_cloud_3d(rng)
+    r = rot_zyx(0.04, 0.05, 0.06)
+    b_pts = a_pts @ r.T + [0.4, -0.3, 0.1]
+    a = icp.from_points(a_pts, dtype=np.float64)
+    b = icp.from_points(b_pts, dtype=np.float64)
+    cfg = icp.DriverConfig(max_iterations=80, angle_tolerance=1e-5, translation_tolerance=1e-5)
+
+    r_sym, _ = icp.converge(
+        icp.from_method("symmetric", 3, icp.Config(normal_neighbors=8)),
+        a, b, icp.identity(3, dtype=np.float64), cfg,
+    )
+    r_p2l, _ = icp.converge(
+        icp.from_method("point_to_plane", 3, icp.Config(normal_neighbors=8)),
+        a, b, icp.identity(3, dtype=np.float64), cfg,
+    )
+    err = float(geometry.rotation_angle_3d(jnp.asarray(r.T) @ r_sym.transform.rotation))
+    assert err < 5e-3
+    assert int(r_sym.iteration_count) <= int(r_p2l.iteration_count) + 2
