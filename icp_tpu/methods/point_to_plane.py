@@ -100,6 +100,20 @@ class PointToPlaneState:
     match_cost: Array  # (..., N) squared plane distance
 
 
+def solve_normal_equations(jac, r, w):
+    """Damped LS solve of ``min sum_i w_i (jac_i . x + r_i)^2`` -> twist.
+
+    Shared by the point-to-plane and symmetric methods; tiny Tikhonov keeps
+    degenerate rows (e.g. all-collinear normals) solvable.
+    """
+    jtj = jnp.einsum("...ni,...nj,...n->...ij", jac, jac, w)
+    jtr = jnp.einsum("...ni,...n,...n->...i", jac, r, w)
+    dof = jac.shape[-1]
+    eye = jnp.eye(dof, dtype=jac.dtype)
+    damped = jtj + 1e-9 * jnp.trace(jtj, axis1=-2, axis2=-1)[..., None, None] * eye + 1e-20 * eye
+    return -jnp.linalg.solve(damped, jtr[..., None])[..., 0]
+
+
 def _solve_increment(a_cur, matched_b, matched_n, w, dim):
     """Linearized point-to-plane step: returns the SE(D) twist ``(dof,)``."""
     r = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n)
@@ -112,13 +126,7 @@ def _solve_increment(a_cur, matched_b, matched_n, w, dim):
     else:
         cross = jnp.cross(a_cur, matched_n)
         jac = jnp.concatenate([matched_n, cross], axis=-1)  # (..., N, 6)
-    jtj = jnp.einsum("...ni,...nj,...n->...ij", jac, jac, w)
-    jtr = jnp.einsum("...ni,...n,...n->...i", jac, r, w)
-    dof = jac.shape[-1]
-    eye = jnp.eye(dof, dtype=a_cur.dtype)
-    # Tiny Tikhonov keeps degenerate normal sets (e.g. all-collinear) solvable.
-    damped = jtj + 1e-9 * jnp.trace(jtj, axis1=-2, axis2=-1)[..., None, None] * eye + 1e-20 * eye
-    return -jnp.linalg.solve(damped, jtr[..., None])[..., 0]
+    return solve_normal_equations(jac, r, w)
 
 
 def create(config: Config) -> Method:

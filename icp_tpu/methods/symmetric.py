@@ -2,19 +2,26 @@
 
 Minimizes the symmetrized point-to-plane residual
 
-    sum_i w_i ( (R a_i + t - b_{j(i)}) . (n^a_i + n^b_{j(i)}) )^2
+    sum_i w_i ( (R a_i + t - b_{j(i)}) . (R n^a_i + n^b_{j(i)}) )^2
 
-where ``n^a`` are SOURCE normals rotated by the current estimate and ``n^b``
-target normals.  The symmetric objective's zero set is exact for locally
-quadratic surfaces (not just planes), giving a wider convergence funnel and
-faster convergence than one-sided point-to-plane — the strongest classical
-point-cloud objective per the paper.
+where ``n^a`` are SOURCE normals carried through the current rotation and
+``n^b`` target normals.  The symmetric objective's zero set is exact for
+locally quadratic surfaces (not just planes), giving a wider convergence
+funnel than one-sided point-to-plane.
 
-TPU formulation mirrors ``point_to_plane``: both clouds' normals via masked
-k-NN PCA once in ``init``; each iteration solves the linearized normal
-equations with ``J_i = [ n_i ; a_i x n_i ]`` for the summed normal
-``n_i = R n^a_i + n^b_{j(i)}`` and retracts exactly through
-:mod:`icp_tpu.lie`.
+The Gauss-Newton linearization here is the FULL analytic Jacobian of the
+residual including the normal-rotation term: with ``p = R a`` (rotated
+point, translation excluded), ``m = R n^a``, ``n = m + n^b`` and
+``d = R a + t - b``,
+
+    dr/dt     = n
+    dr/domega = p x n + m x d     (2D: the scalar cross products)
+
+— the ``m x d`` term is what distinguishes the symmetric solve from plain
+point-to-plane with an averaged normal.  Normals are estimated once in
+``init`` by masked k-NN PCA for BOTH clouds; the step retracts exactly
+through :mod:`icp_tpu.lie`; the stored cost is the post-step residual with
+post-step-rotated source normals (the objective at the returned transform).
 
 Config: ``normal_neighbors`` (int, default 10), ``max_distance`` (float,
 optional gate), ``dim`` (2 or 3).
@@ -33,9 +40,20 @@ from ..config import Config
 from ..geometry import RigidTransform
 from ..ops.nn import nearest_neighbors
 from .base import Method
-from .point_to_plane import DEFAULT_NORMAL_NEIGHBORS, _solve_increment, estimate_normals
+from .point_to_plane import (
+    DEFAULT_NORMAL_NEIGHBORS,
+    estimate_normals,
+    solve_normal_equations,
+)
 
 Array = jax.Array
+
+
+def _cross(u: Array, v: Array, dim: int) -> Array:
+    """2D scalar cross (``(..., N)``) or 3D vector cross (``(..., N, 3)``)."""
+    if dim == 2:
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+    return jnp.cross(u, v)
 
 
 @jax.tree_util.register_dataclass
@@ -55,53 +73,68 @@ def create(config: Config) -> Method:
     max_distance = config.get("max_distance", None)  # None = no gate
     dim = int(config.get("dim", 3))
 
-    def _symmetric_parts(state, a_cur, idx):
-        """(matched_b, summed normals n = R n_a + n_b) for current matches."""
-        rot = state.transform.rotation
+    def _summed_normals(rot, normals_a, matched_nb):
+        """``(m, n)``: rotated source normals and sign-aligned sums.
+
+        The PCA normals are unoriented; flip ``m`` to agree with ``n_b``
+        per pair before summing, else antiparallel pairs cancel.
+        """
+        m = jnp.einsum("...ij,...nj->...ni", rot, normals_a)
+        sign = jnp.sign(jnp.einsum("...nd,...nd->...n", m, matched_nb))
+        sign = jnp.where(sign == 0, 1.0, sign)
+        m = m * sign[..., None]
+        return m, m + matched_nb
+
+    def _plane_cost(transform, src, matched_b, matched_nb, normals_a):
+        a_pts = geometry.apply(transform, src.points)
+        _, n_sum = _summed_normals(transform.rotation, normals_a, matched_nb)
+        r = jnp.einsum("...nd,...nd->...n", a_pts - matched_b, n_sum)
+        return jnp.where(src.mask, r * r, jnp.inf)
+
+    def _gather(state, idx):
         matched_b = jnp.take_along_axis(state.target.points, idx[..., None], axis=-2)
         matched_nb = jnp.take_along_axis(state.normals_b, idx[..., None], axis=-2)
-        na_rot = jnp.einsum("...ij,...nj->...ni", rot, state.normals_a)
-        # The two normals are unoriented (sign-ambiguous PCA); flip n_a to
-        # agree with n_b before summing, else antiparallel pairs cancel.
-        sign = jnp.sign(jnp.einsum("...nd,...nd->...n", na_rot, matched_nb))
-        sign = jnp.where(sign == 0, 1.0, sign)
-        n_sum = na_rot * sign[..., None] + matched_nb
-        return matched_b, n_sum
-
-    def _plane_cost(a_pts, matched_b, n_sum, mask):
-        r = jnp.einsum("...nd,...nd->...n", a_pts - matched_b, n_sum)
-        return jnp.where(mask, r * r, jnp.inf)
+        return matched_b, matched_nb
 
     def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> SymmetricState:
         normals_a = estimate_normals(source.points, source.mask, k)
         normals_b = estimate_normals(target.points, target.mask, k)
         a_cur = geometry.apply(guess, source.points)
-        sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
-        state = SymmetricState(
-            guess, source, target, normals_a, normals_b, idx,
-            jnp.where(source.mask, sq, jnp.inf),
-        )
-        matched_b, n_sum = _symmetric_parts(state, a_cur, idx)
-        cost = _plane_cost(a_cur, matched_b, n_sum, source.mask)
-        return dataclasses.replace(state, match_cost=cost)
+        _, idx = nearest_neighbors(a_cur, target.points, target.mask)
+        matched_b = jnp.take_along_axis(target.points, idx[..., None], axis=-2)
+        matched_nb = jnp.take_along_axis(normals_b, idx[..., None], axis=-2)
+        cost = _plane_cost(guess, source, matched_b, matched_nb, normals_a)
+        return SymmetricState(guess, source, target, normals_a, normals_b, idx, cost)
 
     def iterate(state: SymmetricState) -> SymmetricState:
         src, tgt = state.source, state.target
+        rot, trans = state.transform.rotation, state.transform.translation
         a_cur = geometry.apply(state.transform, src.points)
         sq, idx = nearest_neighbors(a_cur, tgt.points, tgt.mask)
         w = src.mask.astype(src.dtype)
         if max_distance is not None:
             w = w * (jnp.sqrt(sq) <= max_distance).astype(src.dtype)
 
-        matched_b, n_sum = _symmetric_parts(state, a_cur, idx)
-        xi = _solve_increment(a_cur, matched_b, n_sum, w, src.dim)
+        matched_b, matched_nb = _gather(state, idx)
+        m, n_sum = _summed_normals(rot, state.normals_a, matched_nb)
+        d = a_cur - matched_b
+        p = a_cur - trans[..., None, :]  # R a (rotation-only part)
+
+        r = jnp.einsum("...nd,...nd->...n", d, n_sum)
+        # Full symmetric Jacobian rows: [ n ; p x n + m x d ].
+        rot_rows = _cross(p, n_sum, src.dim) + _cross(m, d, src.dim)
+        if src.dim == 2:
+            jac = jnp.concatenate([n_sum, rot_rows[..., None]], axis=-1)
+        else:
+            jac = jnp.concatenate([n_sum, rot_rows], axis=-1)
+        xi = solve_normal_equations(jac, r, w)
         step = lie.exp(xi, src.dim)
         new_transform = geometry.compose(step, state.transform)
 
-        # Post-step residual under the same correspondences (see the
-        # point_to_plane note on delta-cost termination).
-        a_new = geometry.apply(new_transform, src.points)
-        cost = _plane_cost(a_new, matched_b, n_sum, src.mask)
+        # Post-step residual with post-step-rotated normals, under the same
+        # correspondences — the true objective at the returned transform
+        # (and distinct from init's value, so delta-cost criteria work).
+        cost = _plane_cost(new_transform, src, matched_b, matched_nb, state.normals_a)
         return dataclasses.replace(
             state,
             transform=new_transform,
