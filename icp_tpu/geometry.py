@@ -129,12 +129,24 @@ def rotation_angle_3d(rotation: Array) -> Array:
     """Axis-angle rotation magnitude of a 3D rotation matrix, in ``[0, pi]``.
 
     Equivalent to ``Eigen::AngleAxisd(R).angle()`` used by the driver's 3D
-    transform-tolerance criterion (``include/icp/driver.h:200-204``):
-    ``acos((trace(R) - 1) / 2)`` clamped for numerical safety.
+    transform-tolerance criterion (``include/icp/driver.h:200-204``).
+    Computed as ``atan2(|skew(R)|, (trace - 1)/2)`` — the sin/cos pair —
+    which, like Eigen's quaternion-based path, keeps full precision for
+    tiny angles where the plain ``acos`` form loses half the significant
+    digits (acos'(1) is singular).
     """
     trace = jnp.trace(rotation, axis1=-2, axis2=-1)
-    cos_angle = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    return jnp.arccos(cos_angle)
+    cos_angle = (trace - 1.0) / 2.0
+    skew = 0.5 * jnp.stack(
+        [
+            rotation[..., 2, 1] - rotation[..., 1, 2],
+            rotation[..., 0, 2] - rotation[..., 2, 0],
+            rotation[..., 1, 0] - rotation[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_angle = jnp.linalg.norm(skew, axis=-1)
+    return jnp.arctan2(sin_angle, cos_angle)
 
 
 def rotation_angle(rotation: Array) -> Array:

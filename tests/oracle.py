@@ -22,15 +22,24 @@ import numpy as np
 
 
 def brute_nn(queries: np.ndarray, targets: np.ndarray):
-    """Exact 1-NN, first index wins ties. Returns (euclid_dists, indices)."""
+    """Exact 1-NN, first index wins ties. Returns (euclid_dists, indices).
+
+    Empty targets return zero matches (the reference's compute_matches
+    guards empties, ``vanilla.cpp:69-71``, leaving value-initialized
+    matches with cost 0).
+    """
+    if len(targets) == 0:
+        return np.zeros(len(queries)), np.zeros(len(queries), dtype=np.int64)
     d2 = ((queries[:, None, :] - targets[None, :, :]) ** 2).sum(-1)
     idx = np.argmin(d2, axis=1)
     return np.sqrt(d2[np.arange(len(queries)), idx]), idx
 
 
 class OracleICP:
+    dim = 2  # overridden by subclasses
+
     def __init__(self):
-        self.transform = np.eye(3)
+        self.transform = np.eye(self.dim + 1)
 
     # transform is a (D+1, D+1) homogeneous matrix
     @staticmethod
@@ -275,7 +284,16 @@ class OracleDriver:
             if r_step.shape[0] == 2:
                 angle = np.arctan2(r_step[1, 0], r_step[0, 0])
             else:
-                angle = np.arccos(np.clip((np.trace(r_step) - 1) / 2, -1, 1))
+                # sin/cos form, matching geometry.rotation_angle_3d (and
+                # Eigen AngleAxis's precision for tiny step angles).
+                skew = 0.5 * np.array(
+                    [
+                        r_step[2, 1] - r_step[1, 2],
+                        r_step[0, 2] - r_step[2, 0],
+                        r_step[1, 0] - r_step[0, 1],
+                    ]
+                )
+                angle = np.arctan2(np.linalg.norm(skew), (np.trace(r_step) - 1) / 2)
             tdelta = np.linalg.norm(transform[:-1, -1] - last_transform[:-1, -1])
             if abs(angle) < self.angle_tolerance and tdelta < self.translation_tolerance:
                 return True
