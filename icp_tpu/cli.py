@@ -380,7 +380,7 @@ def cmd_odometry(args):
             )
             if len(np.asarray(cands)):
                 loop_edges, loop_meas, lc_costs = pose_graph.register_loop_closures(
-                    scans, traj.poses, cands, method, cfg
+                    scans, traj.poses, cands, method, cfg, coarse=args.loop_coarse
                 )
                 print(
                     f"loop closures: {len(np.asarray(loop_edges))} accepted "
@@ -508,6 +508,11 @@ def main(argv=None):
     )
     p_odo.add_argument("--loop-min-separation", type=int, default=10)
     p_odo.add_argument("--loop-weight", type=float, default=10.0)
+    p_odo.add_argument(
+        "--loop-coarse", action="store_true",
+        help="seed closure registrations with the global initializer "
+        "(use when accumulated drift is large)",
+    )
     p_odo.add_argument(
         "--scan-to-map", action="store_true",
         help="register each scan against an aggregated voxel map (less drift)",

@@ -1,4 +1,5 @@
 from .coarse import bearing_histogram, coarse_align_2d, coarse_align_3d
+from .filters import remove_statistical_outliers
 from .nn import masked_min_with_index, nearest_neighbors, pairwise_sq_dists
 from .rigid_fit import (
     cross_covariance,
@@ -14,6 +15,7 @@ __all__ = [
     "coarse_align_2d",
     "coarse_align_3d",
     "fit_rigid_indexed",
+    "remove_statistical_outliers",
     "nearest_neighbors",
     "pairwise_sq_dists",
     "masked_min_with_index",

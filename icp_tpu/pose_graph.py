@@ -183,15 +183,19 @@ def register_loop_closures(
     method,
     driver_config,
     max_cost: float | None = None,
+    coarse: bool = False,
 ):
     """Register every candidate pair (batched) and return accepted
     ``(edges (K', 2), measurements, costs)``.
 
     ``clouds`` is the batched keyframe cloud stack ``(T, N, D)`` aligned with
     ``poses``.  The relative pose seed is derived from the current poses
-    (``X_i^{-1} X_j``); the registration refines it into the loop
-    measurement.  ``max_cost`` drops closures whose converged cost exceeds
-    it (bad closures corrupt graphs — standard practice).
+    (``X_i^{-1} X_j``); with ``coarse=True`` the global initializer
+    (``ops/coarse.py``) seeds instead — the right choice when accumulated
+    drift is large enough that the pose-derived seed leaves ICP's basin
+    (a wrongly-converged closure silently confirms the drift).
+    ``max_cost`` drops closures whose converged cost exceeds it (bad
+    closures corrupt graphs — standard practice).
     """
     import numpy as np
 
@@ -215,9 +219,14 @@ def register_loop_closures(
     tgt = cloud_mod.PointCloud(clouds.points[i], clouds.count[i])
     # Seed: the transform taking frame-j points into frame i under current
     # estimates is X_i^{-1} X_j.
-    xi = RigidTransform(poses.rotation[i], poses.translation[i])
-    xj = RigidTransform(poses.rotation[j], poses.translation[j])
-    seed = geometry.compose(geometry.inverse(xi), xj)
+    if coarse:
+        from .ops.coarse import coarse_align_2d, coarse_align_3d
+
+        seed = (coarse_align_2d if poses.dim == 2 else coarse_align_3d)(src, tgt)
+    else:
+        xi = RigidTransform(poses.rotation[i], poses.translation[i])
+        xj = RigidTransform(poses.rotation[j], poses.translation[j])
+        seed = geometry.compose(geometry.inverse(xi), xj)
 
     result, _ = converge(method, src, tgt, seed, driver_config)
     # Measurement convention of :class:`PoseGraph`: Z_e = frame-i pose of

@@ -135,3 +135,18 @@ def test_coarse_3d_plus_icp_recovers_large_rotation(rng, deg):
     np.testing.assert_allclose(
         np.asarray(result.transform.translation), t_true, atol=0.05
     )
+
+
+def test_remove_statistical_outliers(rng):
+    from icp_tpu.ops.filters import remove_statistical_outliers
+
+    dense = rng.uniform(-5, 5, (200, 2))
+    outliers = rng.uniform(80, 100, (10, 2))
+    cloud = icp.from_points(np.concatenate([dense, outliers]), dtype=np.float64)
+    filtered = remove_statistical_outliers(cloud, k=8, std_ratio=2.0)
+    n = int(filtered.count)
+    assert 185 <= n <= 200, n  # all far outliers dropped, most inliers kept
+    pts = np.asarray(filtered.points[:n])
+    assert np.abs(pts).max() < 10.0  # no outlier survives
+    # Padding beyond count is zeroed; mask reflects the new count.
+    assert np.allclose(np.asarray(filtered.points[n:]), 0.0)

@@ -292,3 +292,32 @@ def test_pose_graph_vmap_fleet(rng):
         t_ref, c_ref = solve_one(graphs[f])
         np.testing.assert_allclose(np.asarray(trans_b[f]), np.asarray(t_ref), atol=1e-9)
         assert float(final_b[f]) < 1e-10  # odometry-only graphs solve exactly
+
+
+def test_run_slam_one_call(rng):
+    """The packaged pipeline closes the loop like the hand-wired version."""
+    import math
+
+    from icp_tpu import slam
+
+    world = rng.uniform(-30, 30, (150, 2))
+    t_steps, radius = 25, 4.0
+    scans = []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        scans.append(pts + rng.normal(0, 0.02, pts.shape))
+    stack = icp.stack([icp.from_points(p, capacity=152, dtype=np.float64) for p in scans])
+
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    result = slam.run_slam(
+        stack, method, cfg, loop_radius=1.5, loop_min_separation=t_steps - 2,
+        loop_weight=10.0, loop_coarse=True,
+    )
+    assert result.loop_edges.shape[0] >= 1
+    end_raw = float(np.linalg.norm(np.asarray(result.trajectory.poses.translation[-1])))
+    end_opt = float(np.linalg.norm(np.asarray(result.poses.translation[-1])))
+    assert end_opt < max(0.3 * end_raw, 0.03), (end_opt, end_raw)
