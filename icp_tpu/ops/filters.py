@@ -29,15 +29,28 @@ def remove_statistical_outliers(
     """
     from ..ops.nn import pairwise_sq_dists
 
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     points, mask = cloud.points, cloud.mask
-    k = min(k, points.shape[-2] - 1) or 1
+    capacity = points.shape[-2]
+    if capacity < 2:
+        return cloud  # no neighbors to reason about
+    k = min(k, capacity - 1)
     d2 = pairwise_sq_dists(points, points)
     big = jnp.asarray(jnp.finfo(points.dtype).max, dtype=points.dtype)
     d2 = jnp.where(mask[..., None, :], d2, big)
     # k+1 nearest including self (distance 0), drop self.
     neg_top, _ = jax.lax.top_k(-d2, k + 1)
     knn_d = jnp.sqrt(jnp.maximum(-neg_top[..., 1:], 0.0))  # (..., N, k)
-    mean_d = knn_d.mean(axis=-1)
+    # Clouds with count <= k have fewer than k real neighbors: slots beyond
+    # (count - 1) hold masked-sentinel distances and must not enter the
+    # statistics (they would flatten them and silently disable the filter).
+    n_neighbors = jnp.maximum(cloud.count - 1, 0)  # (...,)
+    slot_valid = (
+        jnp.arange(k) < n_neighbors[..., None, None]
+    )  # (..., 1, k) broadcast over points
+    denom = jnp.maximum(n_neighbors, 1).astype(points.dtype)
+    mean_d = jnp.where(slot_valid, knn_d, 0.0).sum(axis=-1) / denom[..., None]
 
     w = mask.astype(points.dtype)
     n = jnp.maximum(w.sum(axis=-1), 1.0)

@@ -36,6 +36,7 @@ def run_slam(
     multiscale: bool = False,
     loop_radius: float | None = None,
     loop_min_separation: int = 10,
+    loop_max_candidates: int | None = 64,
     loop_max_cost: float | None = None,
     loop_coarse: bool = False,
     loop_weight: float = 10.0,
@@ -56,11 +57,23 @@ def run_slam(
     loop_meas = None
     if loop_radius is not None:
         cands = pose_graph.find_loop_candidates(
-            traj.poses, radius=loop_radius, min_separation=loop_min_separation
+            traj.poses, radius=loop_radius,
+            min_separation=loop_min_separation,
+            max_candidates=loop_max_candidates,
         )
         loop_edges, loop_meas, _ = pose_graph.register_loop_closures(
             scans, traj.poses, cands, method, config,
             max_cost=loop_max_cost, coarse=loop_coarse,
+        )
+
+    if loop_edges.shape[0] == 0:
+        # Odometry-only graphs are exactly satisfiable — optimization is a
+        # numerical no-op; skip the O(T^2) dense solve entirely.
+        return SlamResult(
+            poses=traj.poses,
+            trajectory=traj,
+            loop_edges=loop_edges,
+            graph_costs=jnp.zeros((0,)),
         )
 
     graph = pose_graph.graph_from_trajectory(

@@ -150,3 +150,26 @@ def test_remove_statistical_outliers(rng):
     assert np.abs(pts).max() < 10.0  # no outlier survives
     # Padding beyond count is zeroed; mask reflects the new count.
     assert np.allclose(np.asarray(filtered.points[n:]), 0.0)
+
+
+def test_sor_small_count_does_not_flatten_stats(rng):
+    """Regression: clouds with count <= k must still filter (sentinel
+    distances previously flattened the statistics and kept everything)."""
+    from icp_tpu.ops.filters import remove_statistical_outliers
+
+    inliers = rng.uniform(-5, 5, (20, 2))
+    pts = np.concatenate([inliers, [[90.0, 90.0]]])
+    cloud = icp.from_points(pts, capacity=32, dtype=np.float64)
+    filtered = remove_statistical_outliers(cloud, k=25, std_ratio=2.0)
+    kept = np.asarray(filtered.points[: int(filtered.count)])
+    assert np.abs(kept).max() < 10.0  # outlier dropped despite k > count
+
+    # capacity-1 cloud: no neighbors -> unchanged, no crash
+    one = icp.from_points(np.zeros((1, 2)), capacity=1, dtype=np.float64)
+    out = remove_statistical_outliers(one, k=8)
+    assert int(out.count) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        remove_statistical_outliers(cloud, k=0)
