@@ -107,6 +107,11 @@ def cmd_register(args):
         source = _load_scan(args.src)
         target = _load_scan(args.dst)
         dim = 2
+    if args.sor:
+        from .ops.filters import remove_statistical_outliers
+
+        source = remove_statistical_outliers(source)
+        target = remove_statistical_outliers(target)
     method = _make_method(args.method, dim, config)
     cfg = _driver_config(args)
 
@@ -454,6 +459,10 @@ def main(argv=None):
     p_reg.add_argument("-m", "--method", default="vanilla")
     p_reg.add_argument("-c", "--config", nargs="*", help="method config key=value")
     p_reg.add_argument("--ply", action="store_true", help="inputs are 3D PLY clouds")
+    p_reg.add_argument(
+        "--sor", action="store_true",
+        help="statistical outlier removal on both clouds before registration",
+    )
     p_reg.add_argument(
         "--multiscale", action="store_true",
         help="coarse-to-fine pyramid (decimate 4x, then full resolution)",
