@@ -79,8 +79,8 @@ def run_slam(
     graph = pose_graph.graph_from_trajectory(
         traj.poses,
         geometry.inverse(traj.relative),
-        loop_edges=loop_edges if loop_edges.shape[0] else None,
-        loop_measurements=loop_meas if loop_edges.shape[0] else None,
+        loop_edges=loop_edges,
+        loop_measurements=loop_meas,
         loop_weight=loop_weight,
     )
     graph, costs = pose_graph.optimize(
