@@ -385,10 +385,12 @@ def cmd_odometry(args):
             )
             if len(np.asarray(cands)):
                 loop_edges, loop_meas, lc_costs = pose_graph.register_loop_closures(
-                    scans, traj.poses, cands, method, cfg, coarse=args.loop_coarse
+                    scans, traj.poses, cands, method, cfg,
+                    max_cost=args.loop_max_cost, coarse=args.loop_coarse,
                 )
                 print(
-                    f"loop closures: {len(np.asarray(loop_edges))} accepted "
+                    f"loop closures: {len(np.asarray(loop_edges))} of "
+                    f"{len(np.asarray(cands))} candidates accepted "
                     f"(costs {np.round(np.asarray(lc_costs), 4).tolist()})",
                     file=sys.stderr,
                 )
@@ -517,6 +519,11 @@ def main(argv=None):
     )
     p_odo.add_argument("--loop-min-separation", type=int, default=10)
     p_odo.add_argument("--loop-weight", type=float, default=10.0)
+    p_odo.add_argument(
+        "--loop-max-cost", type=float, default=None,
+        help="reject loop closures whose registration cost exceeds this "
+        "(one bad closure can corrupt the optimized trajectory)",
+    )
     p_odo.add_argument(
         "--loop-coarse", action="store_true",
         help="seed closure registrations with the global initializer "
