@@ -321,3 +321,16 @@ def test_run_slam_one_call(rng):
     end_raw = float(np.linalg.norm(np.asarray(result.trajectory.poses.translation[-1])))
     end_opt = float(np.linalg.norm(np.asarray(result.poses.translation[-1])))
     assert end_opt < max(0.3 * end_raw, 0.03), (end_opt, end_raw)
+
+    # Zero-closure early return: all candidates rejected by max_cost ->
+    # poses come back as raw odometry untouched, empty cost trace.
+    rejected = slam.run_slam(
+        stack, method, cfg, loop_radius=1.5, loop_min_separation=t_steps - 2,
+        loop_max_cost=1e-12,
+    )
+    assert rejected.loop_edges.shape[0] == 0
+    assert rejected.graph_costs.shape == (0,)
+    np.testing.assert_array_equal(
+        np.asarray(rejected.poses.translation),
+        np.asarray(rejected.trajectory.poses.translation),
+    )
