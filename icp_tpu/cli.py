@@ -450,8 +450,8 @@ def main(argv=None):
     )
     parser.add_argument(
         "--platform", choices=["cpu", "tpu"], default=None,
-        help="force the JAX backend (this image pins a TPU tunnel that "
-        "ignores JAX_PLATFORMS; use --platform cpu for quick host runs)",
+        help="cpu forces the host backend (overrides any pinned "
+        "JAX_PLATFORMS); tpu uses the default accelerator selection",
     )
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -552,10 +552,13 @@ def main(argv=None):
     p_m.set_defaults(fn=cmd_methods)
 
     args = parser.parse_args(argv)
-    if args.platform:
+    if args.platform == "cpu":
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", "cpu")
+    # --platform tpu leaves JAX's default accelerator selection alone:
+    # accelerators may register under a plugin platform name (not the
+    # literal "tpu"), so forcing jax_platforms="tpu" can fail to init.
     return args.fn(args)
 
 

@@ -30,6 +30,16 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# All pose-math contractions are tiny (D = 2/3, or an N-length reduction
+# with a D-wide output), so they are bandwidth-bound — but on TPU the MXU's
+# default matmul precision rounds inputs to bfloat16, which visibly drifts
+# composed rotations off the orthonormal manifold (measured: |col|^2 up to
+# 1.024 after ~24 f32 compositions) and shifts converged poses by
+# centimeters.  Full precision costs nothing here; the framework's real
+# FLOPs live in the per-coordinate distance computation, which the VPU
+# already does in f32.
+HIGHEST = jax.lax.Precision.HIGHEST
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -76,9 +86,12 @@ def compose(outer: RigidTransform, inner: RigidTransform) -> RigidTransform:
     method's update (e.g. ``lib/icp/impl/vanilla.cpp:65``):
     ``R = R_outer @ R_inner``, ``t = R_outer @ t_inner + t_outer``.
     """
-    rot = outer.rotation @ inner.rotation
+    rot = jnp.matmul(outer.rotation, inner.rotation, precision=HIGHEST)
     trans = (
-        jnp.einsum("...ij,...j->...i", outer.rotation, inner.translation)
+        jnp.einsum(
+            "...ij,...j->...i", outer.rotation, inner.translation,
+            precision=HIGHEST,
+        )
         + outer.translation
     )
     return RigidTransform(rot, trans)
@@ -91,7 +104,9 @@ def apply(transform: RigidTransform, points: Array) -> Array:
     ``points @ R^T + t`` for points as rows.
     """
     return (
-        jnp.einsum("...nd,...ed->...ne", points, transform.rotation)
+        jnp.einsum(
+            "...nd,...ed->...ne", points, transform.rotation, precision=HIGHEST
+        )
         + transform.translation[..., None, :]
     )
 
@@ -99,7 +114,9 @@ def apply(transform: RigidTransform, points: Array) -> Array:
 def inverse(transform: RigidTransform) -> RigidTransform:
     """Inverse transform: ``R^T, -R^T t``."""
     rot_t = jnp.swapaxes(transform.rotation, -1, -2)
-    trans = -jnp.einsum("...ij,...j->...i", rot_t, transform.translation)
+    trans = -jnp.einsum(
+        "...ij,...j->...i", rot_t, transform.translation, precision=HIGHEST
+    )
     return RigidTransform(rot_t, trans)
 
 
@@ -169,7 +186,7 @@ def masked_centroid(points: Array, mask: Array | None = None) -> Array:
         return jnp.mean(points, axis=-2)
     w = mask.astype(points.dtype)
     total = jnp.sum(w, axis=-1)
-    sums = jnp.einsum("...nd,...n->...d", points, w)
+    sums = jnp.einsum("...nd,...n->...d", points, w, precision=HIGHEST)
     return sums / jnp.maximum(total, 1.0)[..., None]
 
 
@@ -181,5 +198,5 @@ def weighted_centroid(points: Array, weights: Array) -> Array:
     (``lib/icp/impl/trimmed_3d.cpp:97-113`` feeds 3x0 matrices to Eigen).
     """
     total = jnp.sum(weights, axis=-1)
-    sums = jnp.einsum("...nd,...n->...d", points, weights)
+    sums = jnp.einsum("...nd,...n->...d", points, weights, precision=HIGHEST)
     return sums / jnp.maximum(total, jnp.finfo(points.dtype).tiny)[..., None]

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..geometry import RigidTransform, weighted_centroid
+from ..geometry import HIGHEST, RigidTransform, weighted_centroid
 
 Array = jax.Array
 
@@ -48,7 +48,9 @@ def cross_covariance(
     cb = weighted_centroid(target, weights)
     a_c = source - ca[..., None, :]
     b_c = target - cb[..., None, :]
-    h = jnp.einsum("...ni,...nj,...n->...ij", a_c, b_c, weights)
+    h = jnp.einsum(
+        "...ni,...nj,...n->...ij", a_c, b_c, weights, precision=HIGHEST
+    )
     return h, ca, cb
 
 
@@ -81,11 +83,11 @@ def rotation_from_covariance_3d_svd(h: Array) -> Array:
     """
     u, _, vt = jnp.linalg.svd(h, full_matrices=True)
     v = jnp.swapaxes(vt, -1, -2)
-    r = v @ jnp.swapaxes(u, -1, -2)
+    r = jnp.matmul(v, jnp.swapaxes(u, -1, -2), precision=HIGHEST)
     det = jnp.linalg.det(r)
     flip = jnp.where(det < 0, -1.0, 1.0).astype(h.dtype)
     v_fixed = v.at[..., :, -1].multiply(flip[..., None])
-    return v_fixed @ jnp.swapaxes(u, -1, -2)
+    return jnp.matmul(v_fixed, jnp.swapaxes(u, -1, -2), precision=HIGHEST)
 
 
 def _jacobi_eigh_sym(a: Array, sweeps: int = 8) -> tuple[Array, Array]:
@@ -225,19 +227,23 @@ def fit_rigid_indexed(
         raise ValueError(f"unknown gather mode {gather!r}")
     sw = jnp.sum(weights, axis=-1)
     sw_safe = jnp.maximum(sw, jnp.finfo(dtype).tiny)
-    swa = jnp.einsum("...nd,...n->...d", source, weights)
+    swa = jnp.einsum("...nd,...n->...d", source, weights, precision=HIGHEST)
     m = target_points.shape[-2]
     iota = jnp.arange(m, dtype=indices.dtype)
     oh = (indices[..., None] == iota).astype(dtype)  # (..., N, M)
-    woh = jnp.einsum("...n,...nm->...m", weights, oh)
-    swb = jnp.einsum("...m,...md->...d", woh, target_points)
-    awoh = jnp.einsum("...ni,...n,...nm->...im", source, weights, oh)
-    swab = jnp.einsum("...im,...mj->...ij", awoh, target_points)
+    woh = jnp.einsum("...n,...nm->...m", weights, oh, precision=HIGHEST)
+    swb = jnp.einsum("...m,...md->...d", woh, target_points, precision=HIGHEST)
+    awoh = jnp.einsum(
+        "...ni,...n,...nm->...im", source, weights, oh, precision=HIGHEST
+    )
+    swab = jnp.einsum(
+        "...im,...mj->...ij", awoh, target_points, precision=HIGHEST
+    )
     ca = swa / sw_safe[..., None]
     cb = swb / sw_safe[..., None]
     h = swab - jnp.einsum("...i,...j->...ij", swa, swb) / sw_safe[..., None, None]
     r = _rotation_from_h(h, solver)
-    t = cb - jnp.einsum("...ij,...j->...i", r, ca)
+    t = cb - jnp.einsum("...ij,...j->...i", r, ca, precision=HIGHEST)
     return RigidTransform(r, t)
 
 
@@ -257,5 +263,5 @@ def fit_rigid(
     """
     h, ca, cb = cross_covariance(source, target, weights)
     r = _rotation_from_h(h, solver)
-    t = cb - jnp.einsum("...ij,...j->...i", r, ca)
+    t = cb - jnp.einsum("...ij,...j->...i", r, ca, precision=HIGHEST)
     return RigidTransform(r, t)
