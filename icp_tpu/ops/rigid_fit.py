@@ -231,14 +231,18 @@ def fit_rigid_indexed(
     m = target_points.shape[-2]
     iota = jnp.arange(m, dtype=indices.dtype)
     oh = (indices[..., None] == iota).astype(dtype)  # (..., N, M)
-    woh = jnp.einsum("...n,...nm->...m", weights, oh, precision=HIGHEST)
+    # Precision per contraction: ``woh`` multiplies two 0/1 operands —
+    # bf16-exact, so the MXU default is already bit-exact on the big
+    # (N, M) matmul.  The two coordinate-carrying (N, M) contractions use
+    # HIGH (3-pass bf16 ≈ f32 accuracy) — HIGHEST doubles their MXU passes
+    # again for accuracy far below f32 rounding of the inputs.
+    high = jax.lax.Precision.HIGH
+    woh = jnp.einsum("...n,...nm->...m", weights, oh)
     swb = jnp.einsum("...m,...md->...d", woh, target_points, precision=HIGHEST)
     awoh = jnp.einsum(
-        "...ni,...n,...nm->...im", source, weights, oh, precision=HIGHEST
+        "...ni,...n,...nm->...im", source, weights, oh, precision=high
     )
-    swab = jnp.einsum(
-        "...im,...mj->...ij", awoh, target_points, precision=HIGHEST
-    )
+    swab = jnp.einsum("...im,...mj->...ij", awoh, target_points, precision=high)
     ca = swa / sw_safe[..., None]
     cb = swb / sw_safe[..., None]
     h = swab - jnp.einsum("...i,...j->...ij", swa, swb) / sw_safe[..., None, None]
