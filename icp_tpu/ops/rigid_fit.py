@@ -231,11 +231,14 @@ def fit_rigid_indexed(
     m = target_points.shape[-2]
     iota = jnp.arange(m, dtype=indices.dtype)
     oh = (indices[..., None] == iota).astype(dtype)  # (..., N, M)
-    # Precision per contraction: ``woh`` multiplies two 0/1 operands —
-    # bf16-exact, so the MXU default is already bit-exact on the big
-    # (N, M) matmul.  The two coordinate-carrying (N, M) contractions use
-    # HIGH (3-pass bf16 ≈ f32 accuracy) — HIGHEST doubles their MXU passes
-    # again for accuracy far below f32 rounding of the inputs.
+    # Precision per contraction: ``woh`` stays at the MXU default, which is
+    # bit-exact for the 0/1 trim weights of vanilla/trimmed/feature_aware;
+    # robust's real-valued IRLS weights see only bf16 rounding of the
+    # weight itself there (~0.4% relative — well inside the Welsch kernel's
+    # own heuristic slack; coordinates never touch this term).  The two
+    # coordinate-carrying (N, M) contractions use HIGH (3-pass bf16 ≈ f32
+    # accuracy) — HIGHEST doubles their MXU passes again for accuracy far
+    # below f32 rounding of the inputs.
     high = jax.lax.Precision.HIGH
     woh = jnp.einsum("...n,...nm->...m", weights, oh)
     swb = jnp.einsum("...m,...md->...d", woh, target_points, precision=HIGHEST)
