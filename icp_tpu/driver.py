@@ -119,7 +119,11 @@ def _should_terminate(
             rel = delta / cost  # 0/0 -> NaN -> comparison false, as in C++
             progress_term = progress_term | (rel < config.relative_cost_tolerance)
     if config.angle_tolerance is not None:
-        rot_step = transform.rotation @ jnp.swapaxes(last_transform.rotation, -1, -2)
+        rot_step = jnp.matmul(
+            transform.rotation,
+            jnp.swapaxes(last_transform.rotation, -1, -2),
+            precision=geometry.HIGHEST,
+        )
         angle = geometry.rotation_angle(rot_step)
         trans_delta = jnp.linalg.norm(
             transform.translation - last_transform.translation, axis=-1

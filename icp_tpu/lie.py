@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .geometry import RigidTransform
+from .geometry import HIGHEST, RigidTransform
 
 Array = jax.Array
 
@@ -55,7 +55,7 @@ def se2_exp(xi: Array) -> RigidTransform:
     v = jnp.stack(
         [jnp.stack([a, -b], axis=-1), jnp.stack([b, a], axis=-1)], axis=-2
     )
-    t = jnp.einsum("...ij,...j->...i", v, rho)
+    t = jnp.einsum("...ij,...j->...i", v, rho, precision=HIGHEST)
     return RigidTransform(rot, t)
 
 
@@ -74,7 +74,7 @@ def se2_log(transform: RigidTransform) -> Array:
         )
         / denom[..., None, None]
     )
-    rho = jnp.einsum("...ij,...j->...i", vinv, transform.translation)
+    rho = jnp.einsum("...ij,...j->...i", vinv, transform.translation, precision=HIGHEST)
     return jnp.concatenate([rho, theta[..., None]], axis=-1)
 
 
@@ -96,7 +96,7 @@ def so3_exp(omega: Array) -> Array:
     """Rodrigues: ``(..., 3) -> (..., 3, 3)``."""
     theta = _safe_norm(omega)
     k = _hat3(omega)
-    k2 = k @ k
+    k2 = jnp.matmul(k, k, precision=HIGHEST)
     a = _sinc(theta)
     small = jnp.abs(theta) < 1e-4
     safe = jnp.where(small, 1.0, theta)
@@ -157,7 +157,7 @@ def se3_exp(xi: Array) -> RigidTransform:
     rho, omega = xi[..., :3], xi[..., 3:]
     theta = _safe_norm(omega)
     k = _hat3(omega)
-    k2 = k @ k
+    k2 = jnp.matmul(k, k, precision=HIGHEST)
     rot = so3_exp(omega)
     small = jnp.abs(theta) < 1e-4
     safe = jnp.where(small, 1.0, theta)
@@ -169,7 +169,7 @@ def se3_exp(xi: Array) -> RigidTransform:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), k.shape)
     v = eye + b[..., None, None] * k + c[..., None, None] * k2
-    t = jnp.einsum("...ij,...j->...i", v, rho)
+    t = jnp.einsum("...ij,...j->...i", v, rho, precision=HIGHEST)
     return RigidTransform(rot, t)
 
 
@@ -178,7 +178,7 @@ def se3_log(transform: RigidTransform) -> Array:
     omega = so3_log(transform.rotation)
     theta = _safe_norm(omega)
     k = _hat3(omega)
-    k2 = k @ k
+    k2 = jnp.matmul(k, k, precision=HIGHEST)
     small = jnp.abs(theta) < 1e-4
     safe = jnp.where(small, 1.0, theta)
     # V^{-1} = I - K/2 + (1/theta^2)(1 - A/(2B)) K^2
@@ -193,7 +193,7 @@ def se3_log(transform: RigidTransform) -> Array:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), k.shape)
     vinv = eye - 0.5 * k + coef[..., None, None] * k2
-    rho = jnp.einsum("...ij,...j->...i", vinv, transform.translation)
+    rho = jnp.einsum("...ij,...j->...i", vinv, transform.translation, precision=HIGHEST)
     return jnp.concatenate([rho, omega], axis=-1)
 
 

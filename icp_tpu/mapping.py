@@ -127,7 +127,11 @@ def scan_to_map_odometry(
         delta_a = abs(
             float(
                 geometry.rotation_angle(
-                    pose.rotation @ jnp.swapaxes(kf_pose.rotation, -1, -2)
+                    jnp.matmul(
+                        pose.rotation,
+                        jnp.swapaxes(kf_pose.rotation, -1, -2),
+                        precision=geometry.HIGHEST,
+                    )
                 )
             )
         )

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from .. import geometry
 from ..cloud import PointCloud
 from ..config import Config
-from ..geometry import RigidTransform, masked_centroid
+from ..geometry import HIGHEST, RigidTransform, masked_centroid
 from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 from .trimmed import trim_weights
@@ -111,7 +111,7 @@ def pairwise_euclid(a: Array, b: Array, clamp: bool = True) -> Array:
     """(..., N, K) x (..., M, K) -> (..., N, M) Euclidean distances via matmul."""
     aa = jnp.sum(a * a, axis=-1)
     bb = jnp.sum(b * b, axis=-1)
-    ab = jnp.einsum("...nk,...mk->...nm", a, b)
+    ab = jnp.einsum("...nk,...mk->...nm", a, b, precision=HIGHEST)
     sq = aa[..., :, None] + bb[..., None, :] - 2.0 * ab
     if clamp:
         sq = jnp.maximum(sq, 0.0)

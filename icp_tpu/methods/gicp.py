@@ -40,6 +40,7 @@ from .. import geometry, lie
 from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import RigidTransform
+from ..geometry import HIGHEST, RigidTransform
 from ..ops.nn import nearest_neighbors
 from ..ops.rigid_fit import _jacobi_eigh_sym
 from .base import Method
@@ -68,7 +69,7 @@ def surfel_covariances(points: Array, mask: Array, k: int, eps: float) -> Array:
     new_vals = jnp.where(
         jax.nn.one_hot(smallest, dim, dtype=bool), jnp.asarray(eps, eigvals.dtype), new_vals
     )
-    return jnp.einsum("...ik,...k,...jk->...ij", eigvecs, new_vals, eigvecs)
+    return jnp.einsum("...ik,...k,...jk->...ij", eigvecs, new_vals, eigvecs, precision=HIGHEST)
 
 
 def _inv_spd(m: Array) -> Array:
@@ -171,7 +172,7 @@ def create(config: Config) -> Method:
         line-search scoring, and the stored cost all flow through here so
         they can never optimize/score different quantities.
         """
-        rca = jnp.einsum("...ij,...njk,...lk->...nil", rot, cov_a, rot)
+        rca = jnp.einsum("...ij,...njk,...lk->...nil", rot, cov_a, rot, precision=HIGHEST)
         w_mat = _inv_spd(matched_cb + rca)
         return a_cur - matched_b, w_mat
 
@@ -189,7 +190,7 @@ def create(config: Config) -> Method:
         # Same (gated) Mahalanobis units as iterate so the driver's
         # delta-cost criteria compare like with like from iteration 1.
         resid, w_mat = _residual_weights(a_cur, guess.rotation, cov_a, matched_b, matched_cb)
-        mahal = jnp.einsum("...ni,...nij,...nj->...n", resid, w_mat, resid)
+        mahal = jnp.einsum("...ni,...nij,...nj->...n", resid, w_mat, resid, precision=HIGHEST)
         gate = source.mask.astype(source.dtype)
         if max_distance is not None:
             gate = gate * (jnp.sqrt(sq) <= max_distance).astype(source.dtype)
@@ -213,9 +214,9 @@ def create(config: Config) -> Method:
         resid, w_mat = _residual_weights(a_cur, rot, state.cov_a, matched_b, matched_cb)
         jac = _jacobian_rows(a_cur, src.dim)  # (..., N, D, dof)
 
-        wj = jnp.einsum("...nij,...njk->...nik", w_mat, jac)  # (..., N, D, dof)
-        jtj = jnp.einsum("...nik,...nil,...n->...kl", jac, wj, w_valid)
-        jtr = jnp.einsum("...nik,...nij,...nj,...n->...k", jac, w_mat, resid, w_valid)
+        wj = jnp.einsum("...nij,...njk->...nik", w_mat, jac, precision=HIGHEST)  # (..., N, D, dof)
+        jtj = jnp.einsum("...nik,...nil,...n->...kl", jac, wj, w_valid, precision=HIGHEST)
+        jtr = jnp.einsum("...nik,...nij,...nj,...n->...k", jac, w_mat, resid, w_valid, precision=HIGHEST)
         dof = jac.shape[-1]
         eye = jnp.eye(dof, dtype=a_cur.dtype)
         damped = (
@@ -236,7 +237,7 @@ def create(config: Config) -> Method:
             r, w = _residual_weights(
                 a_new, transform.rotation, state.cov_a, matched_b, matched_cb
             )
-            mahal = jnp.einsum("...ni,...nij,...nj->...n", r, w, r) * w_valid
+            mahal = jnp.einsum("...ni,...nij,...nj->...n", r, w, r, precision=HIGHEST) * w_valid
             return mahal, jnp.sum(mahal, axis=-1) / n_gated
 
         t_full = geometry.compose(lie.exp(xi, src.dim), state.transform)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from .. import geometry, lie
 from ..cloud import PointCloud
 from ..config import Config
-from ..geometry import RigidTransform
+from ..geometry import HIGHEST, RigidTransform
 from ..ops.nn import nearest_neighbors, pairwise_sq_dists
 from ..ops.rigid_fit import _jacobi_eigh_sym
 from .base import Method
@@ -65,9 +65,9 @@ def neighborhood_moments(points: Array, mask: Array, k: int):
         jnp.broadcast_to(mask[..., None, :], d2.shape), idx, axis=-1
     ).astype(points.dtype)  # (..., M, k)
     sw = jnp.maximum(w.sum(axis=-1), 1.0)
-    center = jnp.einsum("...kd,...k->...d", neigh, w) / sw[..., None]
+    center = jnp.einsum("...kd,...k->...d", neigh, w, precision=HIGHEST) / sw[..., None]
     centered = neigh - center[..., None, :]
-    cov = jnp.einsum("...ki,...kj,...k->...ij", centered, centered, w)
+    cov = jnp.einsum("...ki,...kj,...k->...ij", centered, centered, w, precision=HIGHEST)
     return cov, sw
 
 
@@ -106,8 +106,8 @@ def solve_normal_equations(jac, r, w):
     Shared by the point-to-plane and symmetric methods; tiny Tikhonov keeps
     degenerate rows (e.g. all-collinear normals) solvable.
     """
-    jtj = jnp.einsum("...ni,...nj,...n->...ij", jac, jac, w)
-    jtr = jnp.einsum("...ni,...n,...n->...i", jac, r, w)
+    jtj = jnp.einsum("...ni,...nj,...n->...ij", jac, jac, w, precision=HIGHEST)
+    jtr = jnp.einsum("...ni,...n,...n->...i", jac, r, w, precision=HIGHEST)
     dof = jac.shape[-1]
     eye = jnp.eye(dof, dtype=jac.dtype)
     damped = jtj + 1e-9 * jnp.trace(jtj, axis1=-2, axis2=-1)[..., None, None] * eye + 1e-20 * eye
@@ -116,7 +116,7 @@ def solve_normal_equations(jac, r, w):
 
 def _solve_increment(a_cur, matched_b, matched_n, w, dim):
     """Linearized point-to-plane step: returns the SE(D) twist ``(dof,)``."""
-    r = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n)
+    r = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n, precision=HIGHEST)
     if dim == 2:
         # J_i = [n_x, n_y, a_x n_y - a_y n_x]
         cross = (
@@ -145,7 +145,7 @@ def create(config: Config) -> Method:
         sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
         matched_b = jnp.take_along_axis(target.points, idx[..., None], axis=-2)
         matched_n = jnp.take_along_axis(normals, idx[..., None], axis=-2)
-        plane = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n) ** 2
+        plane = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n, precision=HIGHEST) ** 2
         plane = jnp.where(src_mask, plane, jnp.inf)
         return idx, plane
 
@@ -165,7 +165,7 @@ def create(config: Config) -> Method:
         # would be bit-identical to init's on iteration 1 and spuriously
         # trip delta-cost termination criteria).
         a_new = geometry.apply(new_transform, src.points)
-        plane = jnp.einsum("...nd,...nd->...n", a_new - matched_b, matched_n) ** 2
+        plane = jnp.einsum("...nd,...nd->...n", a_new - matched_b, matched_n, precision=HIGHEST) ** 2
         plane = jnp.where(src.mask, plane, jnp.inf)
         return dataclasses.replace(
             state,

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from .. import geometry, lie
 from ..cloud import PointCloud
 from ..config import Config
-from ..geometry import RigidTransform
+from ..geometry import HIGHEST, RigidTransform
 from ..ops.nn import nearest_neighbors
 from .base import Method
 from .point_to_plane import (
@@ -79,8 +79,8 @@ def create(config: Config) -> Method:
         The PCA normals are unoriented; flip ``m`` to agree with ``n_b``
         per pair before summing, else antiparallel pairs cancel.
         """
-        m = jnp.einsum("...ij,...nj->...ni", rot, normals_a)
-        sign = jnp.sign(jnp.einsum("...nd,...nd->...n", m, matched_nb))
+        m = jnp.einsum("...ij,...nj->...ni", rot, normals_a, precision=HIGHEST)
+        sign = jnp.sign(jnp.einsum("...nd,...nd->...n", m, matched_nb, precision=HIGHEST))
         sign = jnp.where(sign == 0, 1.0, sign)
         m = m * sign[..., None]
         return m, m + matched_nb
@@ -88,7 +88,7 @@ def create(config: Config) -> Method:
     def _plane_cost(transform, src, matched_b, matched_nb, normals_a):
         a_pts = geometry.apply(transform, src.points)
         _, n_sum = _summed_normals(transform.rotation, normals_a, matched_nb)
-        r = jnp.einsum("...nd,...nd->...n", a_pts - matched_b, n_sum)
+        r = jnp.einsum("...nd,...nd->...n", a_pts - matched_b, n_sum, precision=HIGHEST)
         return jnp.where(src.mask, r * r, jnp.inf)
 
     def _gather(state, idx):
@@ -120,7 +120,7 @@ def create(config: Config) -> Method:
         d = a_cur - matched_b
         p = a_cur - trans[..., None, :]  # R a (rotation-only part)
 
-        r = jnp.einsum("...nd,...nd->...n", d, n_sum)
+        r = jnp.einsum("...nd,...nd->...n", d, n_sum, precision=HIGHEST)
         # Full symmetric Jacobian rows: [ n ; p x n + m x d ].
         rot_rows = _cross(p, n_sum, src.dim) + _cross(m, d, src.dim)
         if src.dim == 2:

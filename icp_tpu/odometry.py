@@ -57,8 +57,8 @@ def compose_chain(relative: RigidTransform, initial: RigidTransform) -> RigidTra
         # associative_scan (left-to-right composition).
         rot_a, trans_a = a
         rot_b, trans_b = b
-        rot = rot_a @ rot_b
-        trans = jnp.einsum("...ij,...j->...i", rot_a, trans_b) + trans_a
+        rot = jnp.matmul(rot_a, rot_b, precision=geometry.HIGHEST)
+        trans = jnp.einsum("...ij,...j->...i", rot_a, trans_b, precision=geometry.HIGHEST) + trans_a
         return rot, trans
 
     rots = jnp.concatenate([initial.rotation[None], rel_inv.rotation], axis=0)
@@ -132,7 +132,7 @@ def select_keyframes(
     for t in range(1, len(trans)):
         k = keep[-1]
         dt = np.linalg.norm(trans[t] - trans[k])
-        rel = rots[k].T @ rots[t]
+        rel = rots[k].T @ rots[t]  # host NumPy (full precision; no MXU)
         if rots.shape[-1] == 2:
             ang = abs(np.arctan2(rel[1, 0], rel[0, 0]))
         else:
@@ -185,7 +185,11 @@ def stream_odometry(
         delta_a = abs(
             float(
                 geometry.rotation_angle(
-                    pose.rotation @ jnp.swapaxes(kf_pose.rotation, -1, -2)
+                    jnp.matmul(
+                        pose.rotation,
+                        jnp.swapaxes(kf_pose.rotation, -1, -2),
+                        precision=geometry.HIGHEST,
+                    )
                 )
             )
         )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .. import geometry
 from ..cloud import PointCloud
-from ..geometry import RigidTransform
+from ..geometry import HIGHEST, RigidTransform
 
 Array = jax.Array
 
@@ -46,9 +46,9 @@ def bearing_histogram(points: Array, mask: Array, bins: int) -> Array:
 
     oh_lo = jax.nn.one_hot(lo_idx, bins, dtype=points.dtype)
     oh_hi = jax.nn.one_hot(hi_idx, bins, dtype=points.dtype)
-    hist = jnp.einsum("...n,...nb->...b", w * (1.0 - frac), oh_lo) + jnp.einsum(
-        "...n,...nb->...b", w * frac, oh_hi
-    )
+    hist = jnp.einsum(
+        "...n,...nb->...b", w * (1.0 - frac), oh_lo, precision=HIGHEST
+    ) + jnp.einsum("...n,...nb->...b", w * frac, oh_hi, precision=HIGHEST)
     total = jnp.sum(hist, axis=-1, keepdims=True)
     return hist / jnp.maximum(total, jnp.finfo(points.dtype).tiny)
 
@@ -93,7 +93,7 @@ def coarse_align_2d(
     rot = geometry.from_angle_2d(angle)
     ca = geometry.masked_centroid(source.points, source.mask)
     cb = geometry.masked_centroid(target.points, target.mask)
-    t = cb - jnp.einsum("...ij,...j->...i", rot.rotation, ca)
+    t = cb - jnp.einsum("...ij,...j->...i", rot.rotation, ca, precision=HIGHEST)
     return RigidTransform(rot.rotation, t)
 
 
@@ -120,7 +120,7 @@ def coarse_align_3d(
         c = geometry.masked_centroid(points, mask)
         w = mask.astype(points.dtype)
         centered = (points - c[..., None, :]) * w[..., None]
-        cov = jnp.einsum("...ni,...nj->...ij", centered, centered)
+        cov = jnp.einsum("...ni,...nj->...ij", centered, centered, precision=HIGHEST)
         vals, vecs = _jacobi_eigh_sym(cov)
         order = jnp.argsort(vals, axis=-1)
         vecs = jnp.take_along_axis(
@@ -140,8 +140,8 @@ def coarse_align_3d(
     )
 
     def candidate(s):
-        r = jnp.einsum("...ik,k,...jk->...ij", vb, s, va)
-        t = cb - jnp.einsum("...ij,...j->...i", r, ca)
+        r = jnp.einsum("...ik,k,...jk->...ij", vb, s, va, precision=HIGHEST)
+        t = cb - jnp.einsum("...ij,...j->...i", r, ca, precision=HIGHEST)
         return RigidTransform(r, t)
 
     cands = [candidate(signs[i]) for i in range(4)]

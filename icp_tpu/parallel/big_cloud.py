@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .. import geometry
-from ..geometry import RigidTransform
+from ..geometry import HIGHEST, RigidTransform
 from ..ops.nn import nearest_neighbors
 from ..ops.rigid_fit import _rotation_from_h
 from .mesh import POINT_AXIS
@@ -121,9 +121,12 @@ def big_cloud_converge(
 
             # Partial weighted sums -> psum over the points axis.
             sw = jax.lax.psum(jnp.sum(w), POINT_AXIS)
-            swa = jax.lax.psum(jnp.einsum("nd,n->d", c_local, w), POINT_AXIS)
-            swb = jax.lax.psum(jnp.einsum("nd,n->d", matched, w), POINT_AXIS)
-            swab = jax.lax.psum(jnp.einsum("ni,nj,n->ij", c_local, matched, w), POINT_AXIS)
+            swa = jax.lax.psum(jnp.einsum("nd,n->d", c_local, w, precision=HIGHEST), POINT_AXIS)
+            swb = jax.lax.psum(jnp.einsum("nd,n->d", matched, w, precision=HIGHEST), POINT_AXIS)
+            swab = jax.lax.psum(
+                jnp.einsum("ni,nj,n->ij", c_local, matched, w, precision=HIGHEST),
+                POINT_AXIS,
+            )
             sdist = jax.lax.psum(jnp.sum(dist * w_src), POINT_AXIS)
             scount = jax.lax.psum(jnp.sum(w_src), POINT_AXIS)
 
@@ -131,11 +134,11 @@ def big_cloud_converge(
             ca, cb = swa / sw_safe, swb / sw_safe
             h = swab - jnp.outer(swa, swb) / sw_safe
             r_step = _rotation_from_h(h, solver)
-            t_step = cb - r_step @ ca
+            t_step = cb - jnp.matmul(r_step, ca[..., None], precision=HIGHEST)[..., 0]
 
-            c_new = c_local @ r_step.T + t_step
-            rot_new = r_step @ rot
-            trans_new = r_step @ trans + t_step
+            c_new = jnp.matmul(c_local, r_step.T, precision=HIGHEST) + t_step
+            rot_new = jnp.matmul(r_step, rot, precision=HIGHEST)
+            trans_new = jnp.matmul(r_step, trans[..., None], precision=HIGHEST)[..., 0] + t_step
             mean_nn = sdist / jnp.maximum(scount, 1.0)
             return rot_new, trans_new, c_new, mean_nn, it + 1
 
@@ -165,7 +168,7 @@ def big_cloud_converge(
                 inner, prev = carry
                 rot, trans, _, _, it = inner
                 prev_rot, prev_trans = prev
-                angle = geometry.rotation_angle(rot @ prev_rot.T)
+                angle = geometry.rotation_angle(jnp.matmul(rot, prev_rot.T, precision=HIGHEST))
                 tdelta = jnp.linalg.norm(trans - prev_trans)
                 settled = (
                     (jnp.abs(angle) < angle_tolerance)
