@@ -12,11 +12,20 @@ over the poses, with pose 0 gauge-fixed.  TPU-native formulation:
   matmuls + the branch-free tangent maps of :mod:`icp_tpu.lie`);
 * Jacobians come from ``jax.jacfwd`` of the tangent perturbation
   ``X_k <- X_k · exp(delta_k)`` — no hand-derived adjoints to get wrong;
-* the normal system solves either **dense** (small graphs — one
-  ``jnp.linalg.solve`` on the MXU) or **matrix-free CG** where the
-  ``J^T J v`` operator is a jvp/vjp sandwich — no materialized Hessian, and
-  every matvec is a batched edge computation that shards over the mesh's
-  ``data`` axis (edges) exactly like a batch of registrations;
+* the normal system solves **dense** (small graphs — one
+  ``jnp.linalg.solve`` on the MXU), **matrix-free CG** (a jvp/vjp sandwich),
+  or — the scalable default for large graphs — **block-Jacobi
+  preconditioned CG** on analytic per-edge Jacobian blocks: each edge
+  contributes two ``(dof, dof)`` blocks ``A_e = dr/d(delta_i)``,
+  ``B_e = dr/d(delta_j)`` (computed in one vmapped ``jacfwd`` pass), so a
+  ``J^T J v`` matvec is three batched einsums + two ``segment_sum``
+  scatters — O(E·dof²), never materializing anything larger than the edge
+  list.  The preconditioner is the inverse of the per-node diagonal
+  Hessian blocks (standard for pose graphs, where the diagonal dominates);
+* the edge arrays shard over the mesh's ``data`` axis
+  (:func:`shard_over_edges`): every einsum/segment_sum partial is local to
+  a device's edge shard and XLA inserts the cross-device reduction,
+  exactly like a batch of registrations;
 * the GN iteration loop is a ``lax.scan`` with a fixed iteration budget
   (compile-once, no host round-trips).
 """
@@ -90,21 +99,142 @@ def _residual_of_delta(graph: PoseGraph, delta_flat: Array) -> Array:
     return edge_residuals(graph, _retract(graph.poses, delta, dim)).reshape(-1)
 
 
+def _edge_linearization(
+    graph: PoseGraph, poses: RigidTransform
+) -> tuple[Array, Array, Array]:
+    """Residuals + analytic per-edge Jacobian blocks, one vmapped pass.
+
+    Returns ``(r (E, dof), A (E, dof, dof), B (E, dof, dof))`` with
+    ``A = dr_e/d(delta_i)``, ``B = dr_e/d(delta_j)`` under the right
+    perturbation ``X_k <- X_k · exp(delta_k)``.  Each edge touches exactly
+    two nodes, so this is the COMPLETE Jacobian in O(E·dof²) storage — the
+    structure the dense path throws away by materializing (E·dof, T·dof).
+    """
+    dim = graph.dim
+    d = lie.dof(dim)
+    i = graph.edges_ij[:, 0]
+    j = graph.edges_ij[:, 1]
+    sqw = jnp.sqrt(graph.weights)
+
+    def one(rot_i, tr_i, rot_j, tr_j, rot_z, tr_z, w):
+        def res(dd):
+            xi = geometry.compose(RigidTransform(rot_i, tr_i), lie.exp(dd[:d], dim))
+            xj = geometry.compose(RigidTransform(rot_j, tr_j), lie.exp(dd[d:], dim))
+            rel = geometry.compose(geometry.inverse(xi), xj)
+            err = geometry.compose(geometry.inverse(RigidTransform(rot_z, tr_z)), rel)
+            return lie.log(err) * w
+
+        zero = jnp.zeros((2 * d,), dtype=tr_i.dtype)
+        return res(zero), jax.jacfwd(res)(zero)
+
+    r, jac = jax.vmap(one)(
+        poses.rotation[i],
+        poses.translation[i],
+        poses.rotation[j],
+        poses.translation[j],
+        graph.measurements.rotation,
+        graph.measurements.translation,
+        sqw,
+    )
+    return r, jac[..., :d], jac[..., d:]
+
+
+def _pcg_delta(
+    r: Array,
+    a_blk: Array,
+    b_blk: Array,
+    i: Array,
+    j: Array,
+    num_nodes: int,
+    damping: Array | float,
+    iterations: int,
+) -> Array:
+    """Block-Jacobi PCG solve of ``(P Jᵀ J P + λI) delta = -P Jᵀ r``.
+
+    ``P`` projects out node 0 (the gauge).  The Krylov space stays in the
+    node-0-free subspace because rhs and preconditioner both vanish there.
+    All products are batched (E, dof)-einsums + segment-sums — sharding the
+    edge arrays over a mesh axis shards every matvec.
+    """
+    h = geometry.HIGHEST
+    d = r.shape[-1]
+
+    def scatter(vi, vj):
+        return jax.ops.segment_sum(vi, i, num_segments=num_nodes) + jax.ops.segment_sum(
+            vj, j, num_segments=num_nodes
+        )
+
+    jtr = scatter(
+        jnp.einsum("eij,ei->ej", a_blk, r, precision=h),
+        jnp.einsum("eij,ei->ej", b_blk, r, precision=h),
+    )
+    rhs = (-jtr).at[0].set(0.0)
+
+    def hv(v):
+        vz = v.at[0].set(0.0)
+        u = jnp.einsum("eij,ej->ei", a_blk, vz[i], precision=h) + jnp.einsum(
+            "eij,ej->ei", b_blk, vz[j], precision=h
+        )
+        g = scatter(
+            jnp.einsum("eij,ei->ej", a_blk, u, precision=h),
+            jnp.einsum("eij,ei->ej", b_blk, u, precision=h),
+        )
+        return g.at[0].set(0.0) + damping * vz
+
+    blocks = jax.ops.segment_sum(
+        jnp.einsum("eki,ekj->eij", a_blk, a_blk, precision=h), i, num_segments=num_nodes
+    ) + jax.ops.segment_sum(
+        jnp.einsum("eki,ekj->eij", b_blk, b_blk, precision=h), j, num_segments=num_nodes
+    )
+    blocks = blocks + damping * jnp.eye(d, dtype=r.dtype)
+    minv = jnp.linalg.inv(blocks)
+
+    def prec(v):
+        return jnp.einsum("tij,tj->ti", minv, v, precision=h)
+
+    x0 = jnp.zeros_like(rhs)
+    z0 = prec(rhs)
+    rz0 = jnp.sum(rhs * z0)
+
+    def body(_, carry):
+        x, res, z, p, rz = carry
+        hp = hv(p)
+        denom = jnp.sum(p * hp)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(denom == 0, 0.0, rz / safe)
+        x = x + alpha * p
+        res = res - alpha * hp
+        z = prec(res)
+        rz_new = jnp.sum(res * z)
+        safe_rz = jnp.where(rz == 0, 1.0, rz)
+        beta = jnp.where(rz == 0, 0.0, rz_new / safe_rz)
+        return x, res, z, p * beta + z, rz_new
+
+    x, *_ = jax.lax.fori_loop(0, iterations, body, (x0, rhs, z0, z0, rz0))
+    return x
+
+
 def optimize(
     graph: PoseGraph,
     iterations: int = 10,
     damping: float = 1e-6,
-    solver: str = "dense",
+    solver: str = "auto",
     cg_iterations: int = 50,
 ) -> tuple[PoseGraph, Array]:
     """Run Gauss-Newton; returns (optimized graph, per-iteration cost).
 
-    ``solver='dense'`` builds J explicitly (fine to a few thousand DOF);
-    ``'cg'`` is matrix-free conjugate gradient on the normal equations.
+    ``solver='dense'`` builds J explicitly (fine to a few hundred DOF);
+    ``'cg'`` is matrix-free conjugate gradient on the normal equations;
+    ``'pcg'`` is block-Jacobi preconditioned CG on the analytic per-edge
+    Jacobian blocks — O(E·dof²) per matvec, the scalable path (10k nodes /
+    30k edges optimize on one device; edge arrays shard over the mesh).
+    ``'auto'`` (default) picks dense below 512 variables, else pcg.
     """
     dim = graph.dim
     d = lie.dof(dim)
     n_var = graph.num_nodes * d
+    if solver == "auto":
+        solver = "dense" if n_var <= 512 else "pcg"
 
     def gn_step(poses, _):
         g = dataclasses.replace(graph, poses=poses)
@@ -112,27 +242,40 @@ def optimize(
         def res(delta_flat):
             return _residual_of_delta(g, delta_flat)
 
-        zero = jnp.zeros((n_var,), dtype=poses.dtype)
-        r0 = res(zero)
-        cost = jnp.sum(r0 * r0)
+        if solver == "pcg":
+            r_e, a_blk, b_blk = _edge_linearization(g, poses)
+            cost = jnp.sum(r_e * r_e)
+            delta = _pcg_delta(
+                r_e,
+                a_blk,
+                b_blk,
+                g.edges_ij[:, 0],
+                g.edges_ij[:, 1],
+                graph.num_nodes,
+                damping,
+                cg_iterations,
+            ).reshape(-1)
+        elif solver in ("dense", "cg"):
+            zero = jnp.zeros((n_var,), dtype=poses.dtype)
+            r0 = res(zero)
+            cost = jnp.sum(r0 * r0)
+            if solver == "dense":
+                jac = jax.jacfwd(res)(zero)  # (E*dof, n_var)
+                jtj = jnp.matmul(jac.T, jac, precision=geometry.HIGHEST)
+                jtr = jnp.matmul(jac.T, r0, precision=geometry.HIGHEST)
+                jtj = jtj + damping * jnp.eye(n_var, dtype=poses.dtype)
+                delta = -jnp.linalg.solve(jtj, jtr)
+            else:
+                _, vjp = jax.vjp(res, zero)
 
-        if solver == "dense":
-            jac = jax.jacfwd(res)(zero)  # (E*dof, n_var)
-            jtj = jac.T @ jac
-            jtr = jac.T @ r0
-            jtj = jtj + damping * jnp.eye(n_var, dtype=poses.dtype)
-            delta = -jnp.linalg.solve(jtj, jtr)
-        elif solver == "cg":
-            _, vjp = jax.vjp(res, zero)
+                def jtjv(v):
+                    jv = jax.jvp(res, (zero,), (v,))[1]
+                    return vjp(jv)[0] + damping * v
 
-            def jtjv(v):
-                jv = jax.jvp(res, (zero,), (v,))[1]
-                return vjp(jv)[0] + damping * v
-
-            jtr = vjp(r0)[0]
-            delta, _ = jax.scipy.sparse.linalg.cg(
-                jtjv, -jtr, maxiter=cg_iterations
-            )
+                jtr = vjp(r0)[0]
+                delta, _ = jax.scipy.sparse.linalg.cg(
+                    jtjv, -jtr, maxiter=cg_iterations
+                )
         else:
             raise ValueError(f"unknown solver {solver!r}")
 
@@ -148,6 +291,35 @@ def optimize(
     return dataclasses.replace(graph, poses=poses), costs
 
 
+@partial(jax.jit, static_argnames=("min_separation", "k"))
+def find_loop_candidates_topk(
+    poses: RigidTransform,
+    radius: float,
+    min_separation: int = 10,
+    k: int = 64,
+) -> tuple[Array, Array]:
+    """Device-side loop-candidate search: static-shape top-``k`` over the
+    (T, T) pose-distance matrix.
+
+    Returns ``(pairs (k, 2) int32, valid (k,) bool)``: the up-to-``k``
+    CLOSEST index pairs with ``j > i``, ``j - i >= min_separation`` and
+    distance < ``radius``, ordered by ascending distance (ties by row-major
+    pair order, matching the host path).  Entirely jittable — no host
+    round-trip, no data-dependent shapes — so it runs as one fused kernel
+    on the trajectory already resident on device.
+    """
+    t = poses.translation
+    n = t.shape[0]
+    d = jnp.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    idx = jnp.arange(n)
+    sep = idx[None, :] - idx[:, None]  # j - i
+    ok = (d < radius) & (sep >= min_separation)  # sep >= min also forces j > i
+    masked = jnp.where(ok, d, jnp.asarray(jnp.inf, d.dtype))
+    neg, flat_idx = jax.lax.top_k(-masked.reshape(-1), min(k, n * n))
+    pairs = jnp.stack([flat_idx // n, flat_idx % n], axis=-1).astype(jnp.int32)
+    return pairs, jnp.isfinite(neg)
+
+
 def find_loop_candidates(
     poses: RigidTransform,
     radius: float,
@@ -157,23 +329,89 @@ def find_loop_candidates(
     """Candidate loop-closure pairs ``(K, 2)``: trajectory indices whose
     poses are within ``radius`` but at least ``min_separation`` steps apart.
 
-    Host-side (feeds graph construction, not compiled compute).  Pairs are
-    ordered by ascending distance; ``max_candidates`` truncates.
+    Pairs are ordered by ascending distance; ``max_candidates`` truncates.
+    The search itself is the device-side static-shape top-K
+    (:func:`find_loop_candidates_topk`); only the final compaction of the
+    validity mask happens on host (the result feeds host-side graph
+    construction anyway).  When ``max_candidates`` is None the top-K budget
+    starts at 1024 and doubles until it provably covers every valid pair.
     """
     import numpy as np
 
-    t = np.asarray(poses.translation)
-    n = len(t)
-    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
-    sep = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
-    ii, jj = np.nonzero((d < radius) & (sep >= min_separation))
-    keep = ii < jj  # one direction per pair
-    ii, jj = ii[keep], jj[keep]
-    order = np.argsort(d[ii, jj], kind="stable")
-    ii, jj = ii[order], jj[order]
-    if max_candidates is not None:
-        ii, jj = ii[:max_candidates], jj[:max_candidates]
-    return jnp.asarray(np.stack([ii, jj], axis=-1), dtype=jnp.int32)
+    n = poses.translation.shape[0]
+    total = n * n
+    budget = max_candidates if max_candidates is not None else min(1024, total)
+    while True:
+        pairs, valid = find_loop_candidates_topk(
+            poses, radius, min_separation=min_separation, k=budget
+        )
+        nvalid = int(np.sum(np.asarray(valid)))
+        if max_candidates is not None or nvalid < budget or budget >= total:
+            break
+        budget = min(budget * 2, total)
+    return jnp.asarray(np.asarray(pairs)[np.asarray(valid)], dtype=jnp.int32)
+
+
+def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
+    """Pad the edge list to a multiple of ``multiple`` with zero-weight
+    (0, 0) self-edges (identity measurements).
+
+    Zero weight scales the padded residuals AND their Jacobian blocks to
+    exactly 0, so padding never perturbs the solve — it only rounds the
+    edge-shard shapes for even device placement.
+    """
+    e = graph.num_edges
+    pad = (-e) % multiple
+    if pad == 0:
+        return graph
+    dim = graph.dim
+    dtype = graph.poses.dtype
+    eye = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (pad, dim, dim))
+    return dataclasses.replace(
+        graph,
+        edges_ij=jnp.concatenate(
+            [graph.edges_ij, jnp.zeros((pad, 2), dtype=jnp.int32)], axis=0
+        ),
+        measurements=RigidTransform(
+            jnp.concatenate([graph.measurements.rotation, eye], axis=0),
+            jnp.concatenate(
+                [graph.measurements.translation, jnp.zeros((pad, dim), dtype=dtype)],
+                axis=0,
+            ),
+        ),
+        weights=jnp.concatenate([graph.weights, jnp.zeros((pad,), dtype=dtype)]),
+    )
+
+
+def shard_over_edges(graph: PoseGraph, mesh, axis: str = "data") -> PoseGraph:
+    """Place the edge arrays sharded over ``mesh``'s ``axis``; poses
+    replicated.
+
+    With the ``'pcg'`` solver every per-edge einsum then computes on the
+    local edge shard and XLA inserts one cross-device reduction per
+    ``segment_sum`` — the pose-graph analogue of sharding a registration
+    batch over ``data`` (module doc).  Pads the edge count to the axis size
+    first (:func:`pad_edges`); zero-weight padding is exact.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    graph = pad_edges(graph, mesh.shape[axis])
+    edge = NamedSharding(mesh, P(axis))
+    edge2 = NamedSharding(mesh, P(axis, None))
+    edge3 = NamedSharding(mesh, P(axis, None, None))
+    repl = NamedSharding(mesh, P())
+    return PoseGraph(
+        poses=RigidTransform(
+            jax.device_put(graph.poses.rotation, repl),
+            jax.device_put(graph.poses.translation, repl),
+        ),
+        edges_ij=jax.device_put(graph.edges_ij, edge2),
+        measurements=RigidTransform(
+            jax.device_put(graph.measurements.rotation, edge3),
+            jax.device_put(graph.measurements.translation, edge2),
+        ),
+        weights=jax.device_put(graph.weights, edge),
+    )
 
 
 def register_loop_closures(

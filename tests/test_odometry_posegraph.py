@@ -101,7 +101,7 @@ def test_keyframe_selection():
     assert list(keys[:3]) == [0, 3, 6]
 
 
-@pytest.mark.parametrize("solver", ["dense", "cg"])
+@pytest.mark.parametrize("solver", ["dense", "cg", "pcg"])
 def test_pose_graph_closes_loop_2d(rng, solver):
     """Drifted odometry around a square + one loop closure -> drift removed."""
     t_steps = 9
@@ -334,3 +334,154 @@ def test_run_slam_one_call(rng):
         np.asarray(rejected.poses.translation),
         np.asarray(rejected.trajectory.poses.translation),
     )
+
+
+# ------------------------------------------------------------------
+# Scalable back-end: analytic edge linearization + block-Jacobi PCG
+# (VERDICT round-1 item 6; no reference counterpart)
+
+
+def _random_graph(rng, t_steps, n_loops, dim=2, noise=0.02):
+    """Noisy odometry chain + loop closures with true relative measurements."""
+    d = lie.dof(dim)
+    twists = rng.uniform(-0.3, 0.3, (t_steps - 1, d))
+    gt = [icp.identity(dim, dtype=np.float64)]
+    for k in range(t_steps - 1):
+        gt.append(geometry.compose(gt[-1], lie.exp(jnp.asarray(twists[k]), dim)))
+    meas = lie.exp(jnp.asarray(twists + rng.normal(0, noise, twists.shape)), dim)
+    init = [gt[0]]
+    for k in range(t_steps - 1):
+        init.append(
+            geometry.compose(
+                init[-1],
+                geometry.RigidTransform(meas.rotation[k], meas.translation[k]),
+            )
+        )
+    poses0 = geometry.RigidTransform(
+        jnp.stack([p.rotation for p in init]),
+        jnp.stack([p.translation for p in init]),
+    )
+    li = rng.integers(0, t_steps - 1, n_loops)
+    lj = np.minimum(li + rng.integers(2, t_steps, n_loops), t_steps - 1)
+    rels = [
+        geometry.compose(geometry.inverse(gt[a]), gt[b]) for a, b in zip(li, lj)
+    ]
+    loop_meas = geometry.RigidTransform(
+        jnp.stack([r.rotation for r in rels]),
+        jnp.stack([r.translation for r in rels]),
+    )
+    return pose_graph.graph_from_trajectory(
+        poses0,
+        meas,
+        loop_edges=jnp.asarray(np.stack([li, lj], axis=-1), dtype=jnp.int32),
+        loop_measurements=loop_meas,
+        loop_weight=10.0,
+    )
+
+
+def test_edge_linearization_matches_residuals_and_dense_jacobian(rng):
+    graph = _random_graph(rng, t_steps=7, n_loops=3)
+    r, a_blk, b_blk = pose_graph._edge_linearization(graph, graph.poses)
+    np.testing.assert_allclose(
+        np.asarray(r),
+        np.asarray(pose_graph.edge_residuals(graph, graph.poses)),
+        atol=1e-12,
+    )
+    # Dense jacobian (same perturbation parameterization, WITHOUT the gauge
+    # zeroing) must equal the scattered blocks.
+    d = lie.dof(graph.dim)
+
+    def res_flat(delta_flat):
+        delta = delta_flat.reshape(graph.num_nodes, d)
+        poses = pose_graph._retract(graph.poses, delta, graph.dim)
+        return pose_graph.edge_residuals(graph, poses).reshape(-1)
+
+    dense = np.asarray(
+        jax.jacfwd(res_flat)(jnp.zeros(graph.num_nodes * d, dtype=jnp.float64))
+    ).reshape(graph.num_edges, d, graph.num_nodes, d)
+    ij = np.asarray(graph.edges_ij)
+    for e in range(graph.num_edges):
+        np.testing.assert_allclose(dense[e, :, ij[e, 0]], np.asarray(a_blk)[e], atol=1e-9)
+        np.testing.assert_allclose(dense[e, :, ij[e, 1]], np.asarray(b_blk)[e], atol=1e-9)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pcg_matches_dense(rng, dim):
+    graph = _random_graph(rng, t_steps=12, n_loops=4, dim=dim)
+    opt_d, costs_d = pose_graph.optimize(graph, iterations=8, solver="dense")
+    opt_p, costs_p = pose_graph.optimize(
+        graph, iterations=8, solver="pcg", cg_iterations=200
+    )
+    assert float(costs_p[-1]) < float(costs_p[0])
+    np.testing.assert_allclose(
+        np.asarray(opt_p.poses.translation),
+        np.asarray(opt_d.poses.translation),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_p.poses.rotation), np.asarray(opt_d.poses.rotation), atol=1e-6
+    )
+
+
+def test_find_loop_candidates_topk_matches_host_semantics(rng):
+    t = rng.uniform(-3, 3, (40, 2))
+    poses = geometry.RigidTransform(
+        jnp.broadcast_to(jnp.eye(2, dtype=jnp.float64), (40, 2, 2)), jnp.asarray(t)
+    )
+    got = np.asarray(pose_graph.find_loop_candidates(poses, radius=2.0, min_separation=5))
+    # Replicate the original host logic.
+    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    sep = np.abs(np.arange(40)[:, None] - np.arange(40)[None, :])
+    ii, jj = np.nonzero((d < 2.0) & (sep >= 5))
+    keep = ii < jj
+    ii, jj = ii[keep], jj[keep]
+    order = np.argsort(d[ii, jj], kind="stable")
+    want = np.stack([ii[order], jj[order]], axis=-1)
+    np.testing.assert_array_equal(got, want)
+    # max_candidates truncates to the closest K.
+    got3 = np.asarray(
+        pose_graph.find_loop_candidates(poses, radius=2.0, min_separation=5, max_candidates=3)
+    )
+    np.testing.assert_array_equal(got3, want[:3])
+
+
+def test_pad_edges_exact(rng):
+    graph = _random_graph(rng, t_steps=9, n_loops=2)
+    padded = pose_graph.pad_edges(graph, 8)
+    assert padded.num_edges % 8 == 0
+    opt_a, costs_a = pose_graph.optimize(graph, iterations=5, solver="pcg")
+    opt_b, costs_b = pose_graph.optimize(padded, iterations=5, solver="pcg")
+    np.testing.assert_allclose(
+        np.asarray(opt_a.poses.translation), np.asarray(opt_b.poses.translation), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(costs_a), np.asarray(costs_b), atol=1e-12)
+
+
+def test_pose_graph_sharded_vs_single(rng):
+    """Edge-sharded pcg over the 8-device mesh == single-device result."""
+    from icp_tpu.parallel.mesh import make_mesh
+
+    graph = _random_graph(rng, t_steps=150, n_loops=30)
+    single, costs_single = pose_graph.optimize(graph, iterations=6, solver="pcg")
+
+    mesh = make_mesh(data=8, points=1)
+    sharded_graph = pose_graph.shard_over_edges(graph, mesh)
+    sharded, costs_sharded = jax.jit(
+        lambda g: pose_graph.optimize(g, iterations=6, solver="pcg")
+    )(sharded_graph)
+    np.testing.assert_allclose(
+        np.asarray(sharded.poses.translation),
+        np.asarray(single.poses.translation),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs_sharded)[:1], np.asarray(costs_single)[:1], rtol=1e-12
+    )
+
+
+def test_pose_graph_large_pcg(rng):
+    """A ~1.5k-node graph optimizes through the scalable path (auto->pcg)."""
+    graph = _random_graph(rng, t_steps=1500, n_loops=300, noise=0.01)
+    opt, costs = pose_graph.optimize(graph, iterations=4)  # auto -> pcg
+    assert float(costs[-1]) < float(costs[0])
+    assert np.all(np.isfinite(np.asarray(opt.poses.translation)))
