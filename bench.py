@@ -1,41 +1,364 @@
-"""Benchmark: batched 2D registration throughput on the real scan1 pair.
+"""Benchmark harness: the full per-method x per-scan matrix on real TPU.
 
 Replicates the reference's bench protocol (``bench/bench.cpp:108-119``:
-``trimmed`` on scan1, driver at max 50 iterations, 0.1 deg angle / 0.01
-translation tolerance) but batched — the TPU registers a fleet of pairs per
-``converge`` invocation.
-
-The registration path is the coarse-to-fine pyramid
-(``icp_tpu.multiscale``, decimation factor 4 then full resolution) — the
-same termination tolerances are enforced at full resolution, so the
-workload contract is unchanged while the path to the basin is ~3x cheaper
-(measured: full-res-only ~4.9k pairs/s, multiscale ~15.5k pairs/s).
+every registered 2D method x scans 1-3, driver at max 50 iterations,
+0.1 deg angle / 0.01 translation tolerance) but batched — the TPU registers
+a fleet of pairs per ``converge`` invocation — and extends it with the
+framework's own production paths (multiscale headline, gicp, 3D queen-scale
+iterate) plus an on-chip TPU-vs-CPU pose-agreement gate (the MXU's default
+matmul precision regression detector; see BASELINE.md round-1 note).
 
 Baseline: the reference's only published number, ~63 ``converge``
 invocations/s single-core CPU (v1.1.1 bench screenshot; see BASELINE.md).
-``vs_baseline`` = our pairs-registered-per-second / 63.
+``vs_baseline`` = pairs-registered-per-second / 63 for the 2D methods.
+Metrics without a reference counterpart (gicp, 3D per-iteration) use the
+framework's own round-1 measurement as the baseline and say so in ``unit``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the headline metric {"metric", "value", "unit",
+"vs_baseline"} with the complete matrix embedded under ``extra_metrics``.
+The full list is also written to ``bench_results.json``.
+
+Usage:
+    python bench.py             # full matrix (several TPU compiles; slow cold)
+    python bench.py --quick     # headline metric only
+    python bench.py --cpu-poses # internal: print f32 poses (pose-agreement
+                                # subprocess, run with JAX_PLATFORMS=cpu)
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_CONVERGES_PER_SEC = 63.0  # BASELINE.md (v1.1.1bench.png)
+# Round-1 self-baselines for net-new paths (BASELINE.md "Round-1 measured").
+BASELINE_GICP_PAIRS_PER_SEC = 520.0
+BASELINE_QUEEN_ITER_MS = 1.4
 BATCH = 1024
+MATRIX_BATCH = 256
 CAPACITY = 1024
 REPEATS = 5
+POSE_AGREEMENT_TOL_M = 2e-3  # sub-mm measured when precision pins are intact
+
+
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _data_dir(repo):
+    data_dir = "/root/reference/ex_data"
+    if not os.path.isdir(data_dir):
+        # Standalone checkouts: the bundled data (see ex_data/README.md).
+        data_dir = os.path.join(repo, "ex_data")
+    return data_dir
+
+
+def _load_pair(data_dir, scan_id, batch, jnp, icp):
+    import jax.tree as jtree
+
+    a_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan{scan_id}/first.csv")
+    b_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan{scan_id}/second.csv")
+    a1 = icp.from_points(a_pts, capacity=CAPACITY, dtype=np.float32)
+    b1 = icp.from_points(b_pts, capacity=CAPACITY, dtype=np.float32)
+    a = jtree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), a1)
+    b = jtree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), b1)
+    return a, b
+
+
+def _guesses(batch, jnp, icp):
+    """The fixed perturbation fleet: scan pair under random initial guesses
+    (realistic divergent per-lane iteration counts; seeded for the
+    pose-agreement protocol to be reproducible across backends)."""
+    rng = np.random.default_rng(0)
+    angles = rng.uniform(-0.05, 0.05, batch).astype(np.float32)
+    shifts = rng.uniform(-0.2, 0.2, (batch, 2)).astype(np.float32)
+    return icp.geometry.from_angle_2d(jnp.asarray(angles), jnp.asarray(shifts))
+
+
+def _bench_cfg(icp):
+    return icp.DriverConfig(
+        max_iterations=50,
+        angle_tolerance=0.1 * np.pi / 180,
+        translation_tolerance=0.01,
+    )
+
+
+def _timed(fn, args, repeats, jnp):
+    """Compile + repeat, materializing a scalar every invocation
+    (block_until_ready can return early over remote-tunnel backends)."""
+    result = fn(*args)
+    cost = result[0].cost if isinstance(result, tuple) else result.cost
+    float(jnp.sum(cost))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        result = fn(*args)
+        cost = result[0].cost if isinstance(result, tuple) else result.cost
+        float(jnp.sum(cost))
+    return (time.perf_counter() - t0) / repeats, result
+
+
+def run_headline(metrics, jnp, icp):
+    """Multiscale trimmed scan1 at B=1024 — the round-over-round headline."""
+    import jax
+
+    from icp_tpu.multiscale import converge_multiscale
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    a, b = _load_pair(_data_dir(repo), 1, BATCH, jnp, icp)
+    guess = _guesses(BATCH, jnp, icp)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+    cfg = _bench_cfg(icp)
+
+    @jax.jit
+    def fn(source, tgt, g):
+        return converge_multiscale(
+            method, source, tgt, g, cfg, factors=(4,), coarse_max_iterations=30
+        )
+
+    _progress("headline: compiling multiscale trimmed B=1024 ...")
+    dt, _ = _timed(fn, (a, b, guess), REPEATS, jnp)
+    pairs_per_sec = BATCH / dt
+    headline = {
+        "metric": "scan1_trimmed_pairs_per_sec",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_CONVERGES_PER_SEC, 2),
+    }
+    metrics.append(headline)
+    _progress(f"headline: {pairs_per_sec:.0f} pairs/s")
+    return headline
+
+
+def run_matrix(metrics, jnp, icp):
+    """Reference protocol: every registered 2D method x scans 1-3.
+
+    All three scans fit the same (B, 1024, 2) shapes, so each method is ONE
+    compiled program reused across scans (``bench/bench.cpp:123-140``).
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    data_dir = _data_dir(repo)
+    guess = _guesses(MATRIX_BATCH, jnp, icp)
+    cfg = _bench_cfg(icp)
+    for name in ("vanilla", "trimmed", "feature_aware"):
+        method = icp.from_method(name, 2, icp.Config())
+        fn = icp.make_converge_fn(method, cfg)
+        for scan_id in (1, 2, 3):
+            try:
+                a, b = _load_pair(data_dir, scan_id, MATRIX_BATCH, jnp, icp)
+            except FileNotFoundError:
+                _progress(f"matrix: scan{scan_id} data missing, skipped")
+                continue
+            _progress(f"matrix: {name} scan{scan_id} ...")
+            dt, (result, _) = _timed(fn, (a, b, guess), 3, jnp)
+            pairs_per_sec = MATRIX_BATCH / dt
+            label = "trimmed_singlescale" if name == "trimmed" else name
+            metrics.append(
+                {
+                    "metric": f"scan{scan_id}_{label}_pairs_per_sec",
+                    "value": round(pairs_per_sec, 2),
+                    "unit": "pairs/s",
+                    "vs_baseline": round(pairs_per_sec / BASELINE_CONVERGES_PER_SEC, 2),
+                    "mean_iterations": round(float(jnp.mean(result.iteration_count)), 2),
+                    "mean_cost": round(float(jnp.mean(result.cost)), 6),
+                }
+            )
+            _progress(f"matrix: {name} scan{scan_id}: {pairs_per_sec:.0f} pairs/s")
+
+
+def run_gicp(metrics, jnp, icp):
+    """gicp (heaviest net-new family) on scan1, B=256 — own-baseline item."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    a, b = _load_pair(_data_dir(repo), 1, MATRIX_BATCH, jnp, icp)
+    guess = _guesses(MATRIX_BATCH, jnp, icp)
+    method = icp.from_method("gicp", 2, icp.Config(dim=2))
+    fn = icp.make_converge_fn(method, _bench_cfg(icp))
+    _progress("gicp: compiling B=256 ...")
+    dt, (result, _) = _timed(fn, (a, b, guess), 3, jnp)
+    pairs_per_sec = MATRIX_BATCH / dt
+    metrics.append(
+        {
+            "metric": "scan1_gicp_pairs_per_sec",
+            "value": round(pairs_per_sec, 2),
+            "unit": "pairs/s (baseline = round-1 self-measure 520/s)",
+            "vs_baseline": round(pairs_per_sec / BASELINE_GICP_PAIRS_PER_SEC, 2),
+            "mean_iterations": round(float(jnp.mean(result.iteration_count)), 2),
+        }
+    )
+    _progress(f"gicp: {pairs_per_sec:.0f} pairs/s")
+
+
+def run_queen_3d(metrics, jnp, icp):
+    """3D per-iteration latency at queen.ply scale (10,720-point clouds)."""
+    import jax
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ply = "/root/reference/ex_data/ply/queen.ply"
+    ply_t = "/root/reference/ex_data/ply/queen_transformed.ply"
+    if not os.path.isfile(ply):
+        ply = os.path.join(repo, "ex_data/ply/queen_scale.ply")
+        ply_t = os.path.join(repo, "ex_data/ply/queen_scale_transformed.ply")
+    if not os.path.isfile(ply):
+        _progress("queen: no queen-scale PLY available, skipped")
+        return
+    src = icp.from_points(icp.io.read_ply(ply_t), dtype=np.float32)
+    tgt = icp.from_points(icp.io.read_ply(ply), dtype=np.float32)
+    method = icp.from_method("trimmed", 3, icp.Config(max_distance=1.0))
+    state0 = method.init(src, tgt, icp.identity(3))
+    it = jax.jit(method.iterate)
+    state = it(state0)
+    float(jnp.sum(state.mean_nn_dist))
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state = it(state)
+        float(jnp.sum(state.mean_nn_dist))
+    ms = (time.perf_counter() - t0) / n * 1e3
+    metrics.append(
+        {
+            "metric": "queen3d_trimmed_iteration_ms",
+            "value": round(ms, 3),
+            "unit": "ms/iteration (baseline = round-1 self-measure 1.4 ms)",
+            "vs_baseline": round(BASELINE_QUEEN_ITER_MS / ms, 2),
+        }
+    )
+    _progress(f"queen: {ms:.2f} ms/iteration")
+
+
+def run_pose_graph(metrics, jnp, icp):
+    """10k-node / 30k-edge synthetic SE(2) graph through the scalable
+    block-Jacobi PCG back-end (VERDICT item 6 'Done' criterion)."""
+    import jax
+
+    from icp_tpu import geometry, lie, pose_graph
+
+    t_nodes, n_loops = 10_000, 20_000  # + 9,999 odometry edges ~= 30k edges
+    rng = np.random.default_rng(7)
+    twists_gt = rng.uniform(-0.2, 0.2, (t_nodes - 1, 3))
+    noisy = jnp.asarray(twists_gt + rng.normal(0, 0.01, twists_gt.shape), dtype=jnp.float32)
+    rel = lie.se2_exp(noisy)  # odometry measurements (drifting)
+    from icp_tpu.odometry import compose_chain
+
+    # Initial poses integrate the NOISY odometry; loop closures measure the
+    # ground-truth relative poses — a genuinely inconsistent graph, so the
+    # solver has real work (cost_drop below reports how much it recovers).
+    poses0 = compose_chain(geometry.inverse(rel), icp.identity(2, dtype=np.float32))
+    gt = compose_chain(
+        geometry.inverse(lie.se2_exp(jnp.asarray(twists_gt, dtype=jnp.float32))),
+        icp.identity(2, dtype=np.float32),
+    )
+    li = rng.integers(0, t_nodes - 2, n_loops)
+    lj = np.minimum(li + rng.integers(2, 50, n_loops), t_nodes - 1)
+    loop_meas = geometry.RigidTransform(
+        gt.rotation[li].swapaxes(-1, -2) @ gt.rotation[lj],
+        jnp.einsum(
+            "eji,ej->ei",
+            gt.rotation[li],
+            gt.translation[lj] - gt.translation[li],
+        ),
+    )
+    graph = pose_graph.graph_from_trajectory(
+        poses0,
+        rel,
+        loop_edges=jnp.asarray(np.stack([li, lj], axis=-1), dtype=jnp.int32),
+        loop_measurements=loop_meas,
+        loop_weight=10.0,
+    )
+    gn_iters = 5
+    fn = jax.jit(
+        lambda g: pose_graph.optimize(g, iterations=gn_iters, solver="pcg", cg_iterations=50)
+    )
+    _progress("pose-graph: compiling 10k-node / 30k-edge PCG ...")
+    _, costs = fn(graph)
+    float(jnp.sum(costs))
+    t0 = time.perf_counter()
+    opt, costs = fn(graph)
+    float(jnp.sum(costs))
+    dt = time.perf_counter() - t0
+    ms_per_gn = dt / gn_iters * 1e3
+    metrics.append(
+        {
+            "metric": "pose_graph_10k_nodes_30k_edges_gn_iteration_ms",
+            "value": round(ms_per_gn, 2),
+            "unit": "ms per Gauss-Newton iteration (50 PCG inner steps)",
+            "vs_baseline": None,
+            "cost_drop": round(float(costs[0] / jnp.maximum(costs[-1], 1e-30)), 2),
+        }
+    )
+    _progress(f"pose-graph: {ms_per_gn:.1f} ms/GN-iteration")
+
+
+def _pose_protocol(jnp, icp, batch):
+    """The fixed f32 protocol both backends run: trimmed single-scale
+    converge, scan1, bench tolerances, seeded perturbation guesses."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    a, b = _load_pair(_data_dir(repo), 1, batch, jnp, icp)
+    guess = _guesses(batch, jnp, icp)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+    fn = icp.make_converge_fn(method, _bench_cfg(icp))
+    result, _ = fn(a, b, guess)
+    return np.asarray(result.transform.rotation), np.asarray(result.transform.translation)
+
+
+def run_pose_agreement(metrics, jnp, icp):
+    """TPU-vs-CPU f32 pose agreement — the matmul-precision regression gate.
+
+    The MXU's default precision rounds f32 matmul inputs to bfloat16; a
+    missing ``precision=`` pin on any new pose-math contraction shows up
+    here as centimeter-level translation deviation and rotation columns
+    drifting off unit norm (measured in round 1) while CPU tests stay green.
+    """
+    _progress("pose-agreement: running protocol on this backend ...")
+    rot_tpu, t_tpu = _pose_protocol(jnp, icp, MATRIX_BATCH)
+    _progress("pose-agreement: running protocol on CPU subprocess ...")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_PLATFORM_NAME", None)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--cpu-poses",
+            "--pose-batch",
+            str(MATRIX_BATCH),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1200,
+        check=True,
+    )
+    cpu = json.loads(out.stdout.strip().splitlines()[-1])
+    rot_cpu = np.asarray(cpu["rotation"], dtype=np.float32)
+    t_cpu = np.asarray(cpu["translation"], dtype=np.float32)
+    max_dt = float(np.max(np.linalg.norm(t_tpu - t_cpu, axis=-1)))
+    col_norms = np.linalg.norm(rot_tpu, axis=-2)  # (B, D) column norms
+    max_drift = float(np.max(np.abs(col_norms - 1.0)))
+    ok = max_dt <= POSE_AGREEMENT_TOL_M
+    metrics.append(
+        {
+            "metric": "pose_agreement_tpu_vs_cpu_max_translation_dev",
+            "value": round(max_dt, 6),
+            "unit": f"m (gate: <= {POSE_AGREEMENT_TOL_M}; pass={ok})",
+            "vs_baseline": round(POSE_AGREEMENT_TOL_M / max(max_dt, 1e-12), 2),
+            "rotation_max_unit_norm_drift": round(max_drift, 7),
+            "pass": ok,
+        }
+    )
+    _progress(
+        f"pose-agreement: max |dt| = {max_dt:.2e} m, "
+        f"max |col|-1 = {max_drift:.2e} -> {'PASS' if ok else 'FAIL'}"
+    )
+    if not ok:
+        _progress("pose-agreement FAILED: a pose-math matmul lost its precision pin?")
 
 
 def main():
-    import os
+    quick = "--quick" in sys.argv
 
     import jax
 
-    # Persistent compilation cache: the batched while-loop converge takes
-    # minutes to compile over the TPU tunnel; cache it across bench runs.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -44,66 +367,36 @@ def main():
 
     import icp_tpu as icp
 
+    if "--cpu-poses" in sys.argv:
+        batch = MATRIX_BATCH
+        if "--pose-batch" in sys.argv:
+            batch = int(sys.argv[sys.argv.index("--pose-batch") + 1])
+        rot, trans = _pose_protocol(jnp, icp, batch)
+        print(json.dumps({"rotation": rot.tolist(), "translation": trans.tolist()}))
+        return
+
+    metrics = []
+    headline = run_headline(metrics, jnp, icp)
+    if not quick:
+        for step in (
+            run_matrix,
+            run_gicp,
+            run_queen_3d,
+            run_pose_graph,
+            run_pose_agreement,
+        ):
+            try:
+                step(metrics, jnp, icp)
+            except Exception as e:  # keep the headline even if a lane dies
+                _progress(f"{step.__name__} failed: {type(e).__name__}: {e}")
+
     repo = os.path.dirname(os.path.abspath(__file__))
-    data_dir = "/root/reference/ex_data"
-    if not os.path.isdir(data_dir):
-        # Standalone checkouts: the bundled synthetic scan pair. Numbers are
-        # only comparable across runs using the same dataset.
-        data_dir = os.path.join(repo, "ex_data")
-    a_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/first.csv")
-    b_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/second.csv")
-
-    a1 = icp.from_points(a_pts, capacity=CAPACITY, dtype=np.float32)
-    b1 = icp.from_points(b_pts, capacity=CAPACITY, dtype=np.float32)
-    # A fleet of pairs: the scan1 pair under BATCH random initial-guess
-    # perturbations (realistic divergent per-lane iteration counts).
-    rng = np.random.default_rng(0)
-    angles = rng.uniform(-0.05, 0.05, BATCH).astype(np.float32)
-    shifts = rng.uniform(-0.2, 0.2, (BATCH, 2)).astype(np.float32)
-    guess = icp.geometry.from_angle_2d(jnp.asarray(angles), jnp.asarray(shifts))
-
-    import jax.tree as jtree
-
-    a = jtree.map(lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), a1)
-    b = jtree.map(lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), b1)
-
-    from icp_tpu.multiscale import converge_multiscale
-
-    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
-    cfg = icp.DriverConfig(
-        max_iterations=50,
-        angle_tolerance=0.1 * np.pi / 180,
-        translation_tolerance=0.01,
-    )
-
-    @jax.jit
-    def fn(source, tgt, g):
-        return converge_multiscale(
-            method, source, tgt, g, cfg, factors=(4,), coarse_max_iterations=30
-        )
-
-    # Warmup / compile.
-    result, _ = fn(a, b, guess)
-    float(jnp.sum(result.cost))  # force full execution (block_until_ready
-    # can return early over remote-tunnel backends)
-
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        result, _ = fn(a, b, guess)
-        float(jnp.sum(result.cost))  # materialize every invocation
-    dt = time.perf_counter() - t0
-
-    pairs_per_sec = BATCH * REPEATS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "scan1_trimmed_pairs_per_sec",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_CONVERGES_PER_SEC, 2),
-            }
-        )
-    )
+    with open(os.path.join(repo, "bench_results.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    final = dict(headline)
+    if len(metrics) > 1:
+        final["extra_metrics"] = [m for m in metrics if m is not headline]
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

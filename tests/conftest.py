@@ -29,6 +29,7 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/ex_data"
+LOCAL_DATA = os.path.join(os.path.dirname(os.path.dirname(__file__)), "ex_data")
 
 
 @pytest.fixture(scope="session")
@@ -36,6 +37,13 @@ def ref_data_dir():
     if not os.path.isdir(REFERENCE_DATA):
         pytest.skip("reference example data not available")
     return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def local_data_dir():
+    """The in-repo synthetic datasets (scripts/make_ex_data.py) — always
+    available, so standalone checkouts keep full golden/e2e coverage."""
+    return LOCAL_DATA
 
 
 @pytest.fixture

@@ -95,3 +95,40 @@ def test_extended_methods_golden(ref_data_dir, method_name, config):
     np.testing.assert_allclose(
         np.asarray(result.transform.translation), golden["translation"], atol=1e-9
     )
+
+
+LOCAL_GOLDEN = os.path.join(os.path.dirname(__file__), "golden_local.json")
+
+
+@pytest.mark.parametrize("method_name", ["vanilla", "trimmed", "feature_aware"])
+@pytest.mark.parametrize("scan", [1, 2, 3])
+def test_bench_config_golden_local(local_data_dir, method_name, scan):
+    """Same pins on the IN-REPO synthetic scans (scripts/make_ex_data.py) —
+    golden coverage survives without the /root/reference checkout."""
+    with open(LOCAL_GOLDEN) as f:
+        golden = json.load(f)[f"{method_name}/scan{scan}"]
+
+    a = icp.from_points(
+        icp.io.parse_lidar_scan_array(f"{local_data_dir}/scan{scan}/first.csv"),
+        dtype=np.float64,
+    )
+    b = icp.from_points(
+        icp.io.parse_lidar_scan_array(f"{local_data_dir}/scan{scan}/second.csv"),
+        dtype=np.float64,
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=50,
+        angle_tolerance=0.1 * np.pi / 180,
+        translation_tolerance=0.01,
+    )
+    method = icp.from_method(method_name, 2)
+    result, _ = icp.converge(method, a, b, icp.identity(2, dtype=np.float64), cfg)
+
+    assert int(result.iteration_count) == golden["iterations"]
+    np.testing.assert_allclose(float(result.cost), golden["cost"], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.rotation), golden["rotation"], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), golden["translation"], atol=1e-10
+    )

@@ -90,3 +90,43 @@ def test_queen_subsampled_oracle_lockstep(ref_data_dir):
             np.asarray(state.transform.translation), oracle.transform[:3, 3],
             atol=1e-9, err_msg=f"iter {it}",
         )
+
+
+def test_queen_scale_local_ply_registration(local_data_dir, tmp_path):
+    """Same E2E protocol on the IN-REPO 10,720-vertex queen-scale pair
+    (scripts/make_ex_data.py) — runs on standalone checkouts with no
+    /root/reference present."""
+    src_pts = read_ply(
+        os.path.join(local_data_dir, "ply", "queen_scale_transformed.ply")
+    )
+    tgt_pts = read_ply(os.path.join(local_data_dir, "ply", "queen_scale.ply"))
+    assert src_pts.shape == (10720, 3)
+    assert tgt_pts.shape == (10720, 3)
+
+    source = icp.from_points(src_pts, dtype=np.float32)
+    target = icp.from_points(tgt_pts, dtype=np.float32)
+
+    method = icp.from_method("trimmed", 3, icp.Config(max_distance=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=100, angle_tolerance=1e-4, translation_tolerance=1e-4
+    )
+    result, _ = icp.converge(
+        method, source, target, icp.identity(3, dtype=np.float32), cfg
+    )
+    assert 0 < int(result.iteration_count) <= 100
+
+    sq_before, _ = nearest_neighbors(source.points, target.points, target.mask)
+    sq_after, _ = nearest_neighbors(
+        geometry.apply(result.transform, source.points), target.points, target.mask
+    )
+    before = float(np.sqrt(np.asarray(sq_before)[: int(source.count)]).mean())
+    after = float(np.sqrt(np.asarray(sq_after)[: int(source.count)]).mean())
+    assert after < before * 0.2, (before, after)
+    assert after < 0.05, after
+
+    out = tmp_path / "queen_scale_result.ply"
+    moved = np.asarray(geometry.apply(result.transform, source.points))[
+        : int(source.count)
+    ]
+    write_ply(str(out), moved)
+    assert read_ply(str(out)).shape == moved.shape
