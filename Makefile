@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all test test_fast bench native view docs math clean install cloc
+.PHONY: all test test_fast bench native view docs site lint math clean install cloc
 
 all: native
 
@@ -28,6 +28,12 @@ view:
 
 docs:
 	$(PY) scripts/gen_docs.py
+
+site: docs
+	$(PY) scripts/gen_site.py
+
+lint:
+	$(PY) scripts/lint.py
 
 math:
 	$(PY) scripts/icp_math.py

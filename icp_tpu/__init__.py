@@ -22,7 +22,21 @@ Quick start (mirrors the reference README usage, ``README.md:22-39``)::
     print(result.transform.rotation, result.transform.translation)
 """
 
-from . import checkpoint, geometry, io, lie, mapping, methods, multiscale, odometry, ops, parallel, pose_graph, serve, slam
+from . import (
+    checkpoint,
+    geometry,
+    io,
+    lie,
+    mapping,
+    methods,
+    multiscale,
+    odometry,
+    ops,
+    parallel,
+    pose_graph,
+    serve,
+    slam,
+)
 from .cloud import PointCloud, from_points, pad_to, stack, to_numpy
 from .config import Config
 from .driver import ConvergenceState, DriverConfig, converge, converge_stepped, make_converge_fn

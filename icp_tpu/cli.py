@@ -210,6 +210,11 @@ def cmd_view(args):
     )
     print(f"wrote {len(range(0, args.iterations + 1, args.every))} frames to {args.out}")
     print(f"final cost {dumps[-1].cost:.6f}")
+    if args.animate:
+        from .vis import assemble_animation
+
+        out = assemble_animation(args.out, args.animate, dumps, fps=args.fps)
+        print(f"wrote animation {out}")
 
 
 def cmd_bench(args):
@@ -492,6 +497,12 @@ def main(argv=None):
     p_view.add_argument("--out", default="view_frames")
     p_view.add_argument("--iterations", type=int, default=20)
     p_view.add_argument("--every", type=int, default=1)
+    p_view.add_argument(
+        "--animate",
+        help="assemble frames into .gif or interactive .html "
+        "(SPACE run / I step / D dump, like the SDL viewer)",
+    )
+    p_view.add_argument("--fps", type=int, default=5)
     p_view.set_defaults(fn=cmd_view)
 
     p_bench = sub.add_parser("bench", help="benchmark registered methods on example scans")
@@ -507,7 +518,9 @@ def main(argv=None):
     p_bench.set_defaults(fn=cmd_bench)
 
     p_odo = sub.add_parser("odometry", help="chain a scan sequence into a trajectory")
-    p_odo.add_argument("--scans", nargs="+", required=True, help="ordered scan CSVs (or PLYs with --ply)")
+    p_odo.add_argument(
+        "--scans", nargs="+", required=True, help="ordered scan CSVs (or PLYs with --ply)"
+    )
     p_odo.add_argument("--ply", action="store_true", help="scans are 3D PLY clouds")
     p_odo.add_argument("-m", "--method", default="trimmed")
     p_odo.add_argument("-c", "--config", nargs="*")

@@ -72,7 +72,9 @@ class RigidTransform:
         return compose(self, other)
 
 
-def identity(dim: int, batch_shape: tuple[int, ...] = (), dtype: Any = jnp.float32) -> RigidTransform:
+def identity(
+    dim: int, batch_shape: tuple[int, ...] = (), dtype: Any = jnp.float32
+) -> RigidTransform:
     """The identity transform, analogous to ``RBTransform::Identity()``."""
     rot = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (*batch_shape, dim, dim))
     trans = jnp.zeros((*batch_shape, dim), dtype=dtype)

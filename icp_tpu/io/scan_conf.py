@@ -11,7 +11,6 @@ non-finite returns masked out (the polar analogue of the CSV inf filter,
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 

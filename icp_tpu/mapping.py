@@ -30,7 +30,7 @@ import dataclasses
 import numpy as np
 
 from . import geometry
-from .cloud import PointCloud, from_points
+from .cloud import from_points
 from .driver import DriverConfig, make_converge_fn
 from .methods.base import Method
 

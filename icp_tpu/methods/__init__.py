@@ -9,7 +9,17 @@ plane-to-plane, 2D/3D), and ``symmetric`` (Rusinkiewicz symmetric
 objective, 2D/3D).
 """
 
-from . import feature_aware, gicp, point_to_plane, robust, symmetric, trimmed, trimmed_3d, vanilla, vanilla_3d
+from . import (
+    feature_aware,
+    gicp,
+    point_to_plane,
+    robust,
+    symmetric,
+    trimmed,
+    trimmed_3d,
+    vanilla,
+    vanilla_3d,
+)
 from .base import (
     Matches,
     Method,

@@ -216,7 +216,9 @@ def create(config: Config) -> Method:
 
         wj = jnp.einsum("...nij,...njk->...nik", w_mat, jac, precision=HIGHEST)  # (..., N, D, dof)
         jtj = jnp.einsum("...nik,...nil,...n->...kl", jac, wj, w_valid, precision=HIGHEST)
-        jtr = jnp.einsum("...nik,...nij,...nj,...n->...k", jac, w_mat, resid, w_valid, precision=HIGHEST)
+        jtr = jnp.einsum(
+            "...nik,...nij,...nj,...n->...k", jac, w_mat, resid, w_valid, precision=HIGHEST
+        )
         dof = jac.shape[-1]
         eye = jnp.eye(dof, dtype=a_cur.dtype)
         damped = (

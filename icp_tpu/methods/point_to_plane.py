@@ -145,7 +145,10 @@ def create(config: Config) -> Method:
         sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
         matched_b = jnp.take_along_axis(target.points, idx[..., None], axis=-2)
         matched_n = jnp.take_along_axis(normals, idx[..., None], axis=-2)
-        plane = jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n, precision=HIGHEST) ** 2
+        plane = (
+            jnp.einsum("...nd,...nd->...n", a_cur - matched_b, matched_n, precision=HIGHEST)
+            ** 2
+        )
         plane = jnp.where(src_mask, plane, jnp.inf)
         return idx, plane
 
@@ -165,7 +168,10 @@ def create(config: Config) -> Method:
         # would be bit-identical to init's on iteration 1 and spuriously
         # trip delta-cost termination criteria).
         a_new = geometry.apply(new_transform, src.points)
-        plane = jnp.einsum("...nd,...nd->...n", a_new - matched_b, matched_n, precision=HIGHEST) ** 2
+        plane = (
+            jnp.einsum("...nd,...nd->...n", a_new - matched_b, matched_n, precision=HIGHEST)
+            ** 2
+        )
         plane = jnp.where(src.mask, plane, jnp.inf)
         return dataclasses.replace(
             state,

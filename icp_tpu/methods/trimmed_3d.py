@@ -25,12 +25,9 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from .. import geometry
-from ..cloud import PointCloud
 from ..config import Config
-from ..geometry import RigidTransform
 from ..ops.rigid_fit import fit_rigid_indexed
 from .base import Method
 from .vanilla_3d import (

@@ -200,3 +200,124 @@ def render_trajectory(
     ax.set_aspect("equal")
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def assemble_animation(
+    frame_dir: str,
+    out_path: str,
+    dumps: list[FrameDump] | None = None,
+    fps: int = 5,
+) -> str:
+    """Assemble rendered ``frame_*.png`` files into a GIF or an interactive
+    HTML player.
+
+    Closes the last UX gap vs the reference's SDL viewer
+    (``vis/lidar_view.cpp:37-61``): the ``.gif`` output is the passive
+    animation; the ``.html`` output is a self-contained player with the SDL
+    window's live controls — SPACE toggles run, I single-steps, D dumps the
+    current FrameDump to the on-page console — frames and dumps embedded
+    (base64), no server needed.  ``dumps`` (from
+    :func:`render_registration`) overlays iteration/cost/translation on GIF
+    frames and feeds the HTML D-key dump.
+    """
+    import base64
+    import glob
+    import json as _json
+
+    frames = sorted(glob.glob(os.path.join(frame_dir, "frame_*.png")))
+    if not frames:
+        raise FileNotFoundError(f"no frame_*.png under {frame_dir}")
+    by_iter = {d.iteration: d for d in dumps or []}
+
+    def frame_iter(path):
+        stem = os.path.basename(path)
+        return int(stem[len("frame_"):-len(".png")])
+
+    if out_path.endswith(".gif"):
+        from PIL import Image, ImageDraw
+
+        images = []
+        for f in frames:
+            im = Image.open(f).convert("RGB")
+            d = by_iter.get(frame_iter(f))
+            if d is not None:
+                draw = ImageDraw.Draw(im)
+                t = np.round(d.translation, 4).tolist()
+                draw.text(
+                    (8, im.height - 18),
+                    f"iter {d.iteration}  cost {d.cost:.6f}  t {t}",
+                    fill=(255, 215, 0),
+                )
+            images.append(im)
+        images[0].save(
+            out_path,
+            save_all=True,
+            append_images=images[1:],
+            duration=max(1000 // fps, 20),
+            loop=0,
+        )
+        return out_path
+
+    if out_path.endswith(".html"):
+        payload = []
+        for f in frames:
+            with open(f, "rb") as fh:
+                b64 = base64.b64encode(fh.read()).decode("ascii")
+            d = by_iter.get(frame_iter(f))
+            payload.append(
+                {
+                    "iter": frame_iter(f),
+                    "png": b64,
+                    "dump": None
+                    if d is None
+                    else {
+                        "iteration": d.iteration,
+                        "cost": d.cost,
+                        "rotation": d.rotation.tolist(),
+                        "translation": d.translation.tolist(),
+                    },
+                }
+            )
+        html = _ANIMATION_HTML.replace("__FRAMES__", _json.dumps(payload)).replace(
+            "__FPS__", str(fps)
+        )
+        with open(out_path, "w") as fh:
+            fh.write(html)
+        return out_path
+
+    raise ValueError(f"unsupported animation format: {out_path} (use .gif or .html)")
+
+
+_ANIMATION_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>icp_tpu registration</title>
+<style>
+body { background: #111; color: #eee; font: 14px monospace; margin: 0;
+       display: flex; flex-direction: column; align-items: center; }
+img { max-width: 95vw; max-height: 78vh; margin-top: .6rem; }
+#hud { margin: .4rem; } #console { white-space: pre; color: #8f8;
+  max-height: 14vh; overflow-y: auto; width: 95vw; }
+kbd { background: #333; padding: 0 .35em; border-radius: 4px; }
+</style></head><body>
+<div id="hud">SPACE run/pause &middot; <kbd>I</kbd> step &middot;
+<kbd>D</kbd> dump &middot; frame <span id="idx">0</span></div>
+<img id="view"><div id="console"></div>
+<script>
+const frames = __FRAMES__;
+let i = 0, running = false;
+const img = document.getElementById("view");
+const idx = document.getElementById("idx");
+const con = document.getElementById("console");
+function show() { img.src = "data:image/png;base64," + frames[i].png;
+                  idx.textContent = frames[i].iter; }
+function step() { if (i < frames.length - 1) { i++; show(); } else running = false; }
+setInterval(() => { if (running) step(); }, 1000 / __FPS__);
+document.addEventListener("keydown", (e) => {
+  if (e.code === "Space") { running = !running; e.preventDefault(); }
+  else if (e.key === "i" || e.key === "I") { running = false; step(); }
+  else if (e.key === "d" || e.key === "D") {
+    con.textContent = JSON.stringify(frames[i].dump, null, 1) + "\\n" + con.textContent;
+  }
+});
+show();
+</script></body></html>
+"""

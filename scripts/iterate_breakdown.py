@@ -43,7 +43,6 @@ def main():
     import jax.numpy as jnp
 
     import icp_tpu as icp
-    from icp_tpu import geometry
     from icp_tpu.methods.trimmed import stable_ranks, trim_weights
     from icp_tpu.ops.nn import nearest_neighbors
     from icp_tpu.ops.rigid_fit import fit_rigid, fit_rigid_indexed

@@ -52,7 +52,12 @@ def main():
     import numpy as np
 
     import icp_tpu as icp
-    from icp_tpu.parallel import initialize_multihost, make_mesh, make_sharded_converge_fn, shard_batch
+    from icp_tpu.parallel import (
+        initialize_multihost,
+        make_mesh,
+        make_sharded_converge_fn,
+        shard_batch,
+    )
 
     if args.multihost:
         initialize_multihost()

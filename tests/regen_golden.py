@@ -8,8 +8,14 @@ out = {}
 cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=0.1*np.pi/180, translation_tolerance=0.01)
 for name in ["vanilla", "trimmed", "feature_aware"]:
     for scan in [1, 2, 3]:
-        a = icp.from_points(icp.io.parse_lidar_scan_array(f"/root/reference/ex_data/scan{scan}/first.csv"), dtype=np.float64)
-        b = icp.from_points(icp.io.parse_lidar_scan_array(f"/root/reference/ex_data/scan{scan}/second.csv"), dtype=np.float64)
+        a = icp.from_points(
+            icp.io.parse_lidar_scan_array(f"/root/reference/ex_data/scan{scan}/first.csv"),
+            dtype=np.float64,
+        )
+        b = icp.from_points(
+            icp.io.parse_lidar_scan_array(f"/root/reference/ex_data/scan{scan}/second.csv"),
+            dtype=np.float64,
+        )
         m = icp.from_method(name, 2)
         r, _ = icp.converge(m, a, b, icp.identity(2, dtype=np.float64), cfg)
         out[f"{name}/scan{scan}"] = {

@@ -7,7 +7,6 @@ batched behavior: every lane terminates independently and frozen lanes
 report the same (cost, iterations, transform) a sequential run would.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -1,11 +1,9 @@
 """IO (conf sweeps, checkpointing) and Pallas-kernel parity tests."""
 
-import os
 
 import jax.numpy as jnp
 import numpy as np
 
-import icp_tpu as icp
 from icp_tpu import checkpoint, geometry, pose_graph
 from icp_tpu.io import parse_sweep, parse_sweep_conf, sweep_to_points
 from icp_tpu.ops.nn import nearest_neighbors

@@ -3,7 +3,6 @@
 import numpy as np
 
 import icp_tpu as icp
-from icp_tpu import geometry
 from icp_tpu.multiscale import converge_multiscale, decimate
 
 

@@ -19,7 +19,9 @@ def _scan_pair(rng, n=60, m=70, dtype=np.float64):
     a = rng.uniform(-30, 30, (n, 2))
     ang = 0.15
     c, s = np.cos(ang), np.sin(ang)
-    b = np.concatenate([a @ np.array([[c, s], [-s, c]]) + [1.0, -2.0], rng.uniform(-30, 30, (m - n, 2))])
+    b = np.concatenate(
+        [a @ np.array([[c, s], [-s, c]]) + [1.0, -2.0], rng.uniform(-30, 30, (m - n, 2))]
+    )
     return (
         icp.from_points(a, dtype=dtype),
         icp.from_points(b, dtype=dtype),

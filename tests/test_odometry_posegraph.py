@@ -122,7 +122,10 @@ def test_pose_graph_closes_loop_2d(rng, solver):
     init = [geometry.RigidTransform(jnp.eye(2), jnp.zeros(2))]
     for k in range(t_steps - 1):
         init.append(
-            geometry.compose(init[-1], geometry.RigidTransform(meas.rotation[k], meas.translation[k]))
+            geometry.compose(
+                init[-1],
+                geometry.RigidTransform(meas.rotation[k], meas.translation[k]),
+            )
         )
     poses0 = geometry.RigidTransform(
         jnp.stack([p.rotation for p in init]), jnp.stack([p.translation for p in init])
@@ -261,8 +264,6 @@ def test_slam_pipeline_end_to_end(rng):
 def test_pose_graph_vmap_fleet(rng):
     """optimize() composes with vmap: a fleet of graphs (shared topology,
     different poses/measurements) optimizes in one batched program."""
-    import dataclasses
-
     t_steps, fleet = 5, 3
     base_xi = rng.uniform(-0.3, 0.3, (fleet, t_steps - 1, 3))
 

@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 import icp_tpu as icp
-from icp_tpu import geometry
 from icp_tpu.ops.nn import nearest_neighbors
 from icp_tpu.parallel import (
     big_cloud_converge,

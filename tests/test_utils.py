@@ -1,6 +1,7 @@
 """Utility-layer tests: profiling accounting, metrics logging, native lib."""
 
 import json
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -104,3 +105,64 @@ def test_profiler_trace_writes(tmp_path):
     # The profiler writes a plugins/profile tree with at least one artifact.
     files = list(tmp_path.rglob("*"))
     assert any(f.is_file() for f in files), files
+
+
+def test_lint_gate_clean():
+    """The in-tree lint gate (scripts/lint.py) stays green."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "lint.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stdout
+
+
+def test_site_builder_renders(tmp_path):
+    """scripts/gen_site.py renders every doc page with nav + rewritten links."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "gen_site.py"), "--out", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    index = (tmp_path / "index.html").read_text()
+    assert "<nav>" in index and 'href="architecture.html"' in index
+    assert (tmp_path / "methods").is_dir()
+
+
+def test_assemble_animation_gif_and_html(tmp_path, rng):
+    """cli view --animate path: frames -> GIF + interactive HTML player."""
+    import numpy as np
+
+    import icp_tpu as icp
+    from icp_tpu.vis import assemble_animation, render_registration
+
+    pts = rng.uniform(-2, 2, (24, 2))
+    src = icp.from_points(pts, capacity=32, dtype=np.float64)
+    tgt = icp.from_points(pts + [0.1, -0.05], capacity=32, dtype=np.float64)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    frames = tmp_path / "frames"
+    dumps = render_registration(
+        method, src, tgt, icp.identity(2, dtype=np.float64),
+        out_dir=str(frames), iterations=3,
+    )
+
+    gif = assemble_animation(str(frames), str(tmp_path / "out.gif"), dumps, fps=4)
+    from PIL import Image
+
+    im = Image.open(gif)
+    assert getattr(im, "n_frames", 1) == 4  # iterations+1 frames
+
+    html = assemble_animation(str(frames), str(tmp_path / "out.html"), dumps)
+    text = (tmp_path / "out.html").read_text()
+    assert '"png"' in text and "Space" in text and '"cost"' in text
