@@ -13,9 +13,12 @@ import sys
 process_id = int(sys.argv[1])
 num_processes = int(sys.argv[2])
 coordinator = sys.argv[3]
+devices_per_process = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={devices_per_process}"
+)
 
 import jax
 
@@ -24,7 +27,7 @@ jax.distributed.initialize(
     coordinator_address=coordinator,
     num_processes=num_processes,
     process_id=process_id,
-    local_device_ids=list(range(4)),
+    local_device_ids=list(range(devices_per_process)),
 )
 
 import jax.numpy as jnp
@@ -35,9 +38,9 @@ import icp_tpu as icp
 from icp_tpu.parallel import DATA_AXIS, make_mesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-assert len(jax.devices()) == 4 * num_processes, len(jax.devices())
+assert len(jax.devices()) == devices_per_process * num_processes, len(jax.devices())
 
-mesh = make_mesh(data=4 * num_processes, points=1)
+mesh = make_mesh(data=devices_per_process * num_processes, points=1)
 
 batch = 8
 rng = np.random.default_rng(0)

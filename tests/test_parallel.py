@@ -230,3 +230,118 @@ def test_big_cloud_ring_mode_matches_gather(rng):
         np.asarray(tf_r.translation), np.asarray(tf_g.translation), atol=1e-12
     )
     np.testing.assert_allclose(float(nn_r), float(nn_g), atol=1e-12)
+
+
+def test_feature_aware_sharded_converge_matches_unsharded(rng):
+    """feature_aware under SP: its global-max normalization couples every
+    (source, target) pair entry (``feature_aware.cpp:53-57,130-133``), the
+    known hard case for points-sharding (SURVEY §7) — GSPMD must insert the
+    cross-shard max before the argmin.  Sharded result == single-device."""
+    batch = 4
+    a_np = rng.uniform(-20, 20, (batch, 64, 2))
+    shift = rng.uniform(-1, 1, (batch, 1, 2))
+    a = icp.PointCloud(jnp.asarray(a_np), jnp.full((batch,), 64, dtype=jnp.int32))
+    b = icp.PointCloud(
+        jnp.asarray(a_np + shift), jnp.full((batch,), 64, dtype=jnp.int32)
+    )
+    guess = icp.identity(2, (batch,), dtype=np.float64)
+    method = icp.from_method("feature_aware", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=20, angle_tolerance=1e-6, translation_tolerance=1e-6
+    )
+
+    single, _ = icp.converge(method, a, b, guess, cfg)
+
+    mesh = make_mesh(data=2, points=4)
+    fn = make_sharded_converge_fn(method, cfg, mesh, shard_points=True)
+    src, tgt, g = shard_batch((a, b, guess), mesh, shard_points=True)
+    sharded, _ = fn(src, tgt, g)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.translation),
+        np.asarray(single.transform.translation),
+        atol=1e-9,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.iteration_count), np.asarray(single.iteration_count)
+    )
+
+
+def test_ring_nn_fori_workaround_canary(rng):
+    """Canary for the ring_nn fori_loop workaround (ring_nn.py module doc).
+
+    Round 1 found that consuming loop-carried ppermute outputs AFTER a
+    fori_loop inside shard_map(check_vma=False) miscompiled (wrong tie
+    winners) — observed on the TPU backend under JAX 0.9.0; the workaround
+    keeps all folds inside the loop.  This canary pins BOTH current
+    behaviors on the CPU mesh: the workaround path stays bit-exact, and the
+    P-1 'consume-after-loop' variant agrees HERE (the miscompile never
+    reproduced on CPU).  If either assertion flips after a JAX upgrade, the
+    workaround needs re-evaluation on real hardware — see
+    parallel/ring_nn.py:13-18 before deleting it.
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from icp_tpu.ops.nn import nearest_neighbors
+    from icp_tpu.parallel.mesh import POINT_AXIS
+    from icp_tpu.parallel.ring_nn import ring_nearest_neighbors
+
+    mesh = make_mesh(data=1, points=8)
+    n_shards, shard_m = 8, 8
+    base = rng.uniform(-1, 1, (8, 2)).astype(np.float32)
+    targets = jnp.asarray(np.tile(base, (8, 1)))  # exact duplicates across shards
+    query = jnp.asarray(np.repeat(base, 4, axis=0)[:32])  # ties everywhere
+    mask = jnp.ones((64,), dtype=bool)
+
+    exp_sq, exp_idx = nearest_neighbors(query, targets, mask)
+    good_sq, good_idx = ring_nearest_neighbors(query, targets, mask, mesh)
+    np.testing.assert_array_equal(np.asarray(good_idx), np.asarray(exp_idx))
+    np.testing.assert_array_equal(np.asarray(good_sq), np.asarray(exp_sq))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(POINT_AXIS, None), P(POINT_AXIS, None), P(POINT_AXIS)),
+        out_specs=(P(POINT_AXIS), P(POINT_AXIS)),
+        check_vma=False,
+    )
+    def p_minus_one_variant(q_local, tgt_local, mask_local):
+        me = jax.lax.axis_index(POINT_AXIS).astype(jnp.int32)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def fold(step, best, tgt_cur, mask_cur):
+            best_sq, best_idx = best
+            owner = jnp.mod(me - step, n_shards)
+            sq, idx = nearest_neighbors(q_local, tgt_cur, mask_cur)
+            gidx = idx + owner * shard_m
+            better = (sq < best_sq) | ((sq == best_sq) & (gidx < best_idx))
+            return jnp.where(better, sq, best_sq), jnp.where(better, gidx, best_idx)
+
+        def body(step, carry):
+            best, tgt_cur, mask_cur = carry
+            best = fold(step, best, tgt_cur, mask_cur)
+            return (
+                best,
+                jax.lax.ppermute(tgt_cur, POINT_AXIS, perm),
+                jax.lax.ppermute(mask_cur, POINT_AXIS, perm),
+            )
+
+        init = (
+            jnp.full((q_local.shape[0],), jnp.inf, dtype=q_local.dtype),
+            jnp.full((q_local.shape[0],), jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+        )
+        best, tgt_cur, mask_cur = jax.lax.fori_loop(
+            0, n_shards - 1, body, (init, tgt_local, mask_local)
+        )
+        # The shape that miscompiled on TPU: one fold on the loop-carried
+        # ppermute output AFTER the loop.
+        return fold(n_shards - 1, best, tgt_cur, mask_cur)
+
+    b_sq, b_idx = p_minus_one_variant(query, targets, mask)
+    assert bool(jnp.all(b_idx == exp_idx)) and bool(jnp.all(b_sq == exp_sq)), (
+        "P-1 ring variant no longer agrees on CPU — JAX behavior changed; "
+        "re-verify the ring_nn workaround on hardware (ring_nn.py:13-18)"
+    )

@@ -113,3 +113,72 @@ def test_dimension_mismatch_rejected_per_request(rng):
     with pytest.raises(ValueError, match="dimension mismatch"):
         server.submit(bad3d, bad3d)
     server.close()
+
+
+def test_capacity_buckets(rng):
+    """Requests pad to the smallest bucket that fits; both buckets serve."""
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0)),
+        icp.DriverConfig(max_iterations=20, angle_tolerance=1e-4, translation_tolerance=1e-4),
+        capacity=(32, 128),
+        max_batch_size=4,
+        dtype=np.float64,
+    )
+    small = rng.uniform(-5, 5, (20, 2))
+    big = rng.uniform(-5, 5, (100, 2))
+    with server:
+        r_small = server.register(small, small + [0.1, 0.0], timeout=120)
+        r_big = server.register(big, big + [0.0, 0.2], timeout=120)
+    np.testing.assert_allclose(r_small.translation, [0.1, 0.0], atol=1e-3)
+    np.testing.assert_allclose(r_big.translation, [0.0, 0.2], atol=1e-3)
+
+
+def test_bounded_queue_sheds_load(rng):
+    """max_pending back-pressure: overflow raises ServerOverloaded."""
+    from icp_tpu.serve import ServerOverloaded
+
+    server = BatchingRegistrar(
+        icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0)),
+        icp.DriverConfig(max_iterations=5, angle_tolerance=1e-4, translation_tolerance=1e-4),
+        capacity=32,
+        max_batch_size=2,
+        max_pending=1,
+        dtype=np.float64,
+    )
+    a = rng.uniform(-5, 5, (16, 2))
+    # Fill the 1-slot queue faster than the worker can drain; at least one
+    # submit must shed (the worker may drain some first — race is fine, the
+    # contract is "bounded, sheds instead of queueing forever").
+    shed = 0
+    futures = []
+    try:
+        for _ in range(200):
+            try:
+                futures.append(server.submit(a, a))
+            except ServerOverloaded:
+                shed += 1
+    finally:
+        for f in futures:
+            f.result(timeout=120)
+        server.close()
+    assert shed > 0
+
+
+def test_injected_converge_fn(rng):
+    """converge_fn injection point (e.g. a mesh-sharded fn) is honored."""
+    calls = []
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(max_iterations=10, angle_tolerance=1e-4, translation_tolerance=1e-4)
+    inner = icp.make_converge_fn(method, cfg)
+
+    def spy(src, tgt, guess):
+        calls.append(src.points.shape)
+        return inner(src, tgt, guess)
+
+    server = BatchingRegistrar(
+        method, cfg, capacity=32, max_batch_size=2, dtype=np.float64, converge_fn=spy
+    )
+    a = rng.uniform(-5, 5, (16, 2))
+    with server:
+        server.register(a, a + [0.05, 0.0], timeout=120)
+    assert calls and calls[0] == (2, 32, 2)
