@@ -359,6 +359,12 @@ def main():
 
     import jax
 
+    # The image's sitecustomize registers the axon TPU plugin and pins the
+    # platform; the env var alone does not override it (see
+    # tests/conftest.py).  The --cpu-poses subprocess depends on this.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

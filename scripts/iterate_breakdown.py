@@ -87,11 +87,13 @@ def main():
     results["fit_rigid_take_ms"] = timed(f_fit_take, a, b, idx, w)
     print("fit_take:", results["fit_rigid_take_ms"], file=sys.stderr, flush=True)
 
-    # full iterate
+    # full iterate (init must run under jit: eager mode would materialize the
+    # (B, N, M, D) broadcast-difference tensor in HBM — 8 GB at these shapes,
+    # which ResourceExhausted the chip on the first run of this script)
     method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
     src = icp.cloud.PointCloud(a, count)
     tgt = icp.cloud.PointCloud(b, jnp.full((B,), M, dtype=jnp.int32))
-    state0 = method.init(src, tgt, icp.identity(2, (B,)))
+    state0 = jax.jit(method.init)(src, tgt, icp.identity(2, (B,)))
     f_it = jax.jit(method.iterate)
     results["full_iterate_ms"] = timed(f_it, state0)
     print("iterate:", results["full_iterate_ms"], file=sys.stderr, flush=True)
