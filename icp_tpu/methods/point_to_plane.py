@@ -43,17 +43,50 @@ Array = jax.Array
 DEFAULT_NORMAL_NEIGHBORS = 10
 
 
-def neighborhood_moments(points: Array, mask: Array, k: int):
+def neighborhood_moments(points: Array, mask: Array, k: int, selector: str = "auto"):
     """Masked k-NN neighborhoods: returns ``(cov (..., M, D, D), count)``.
 
     ``k`` is clamped to the cloud capacity; padded/masked slots never
-    contaminate the moments (their gathered contributions carry weight 0),
-    so clouds with fewer valid points than ``k`` stay well-defined.
+    contaminate the moments (their contributions carry weight 0), so clouds
+    with fewer valid points than ``k`` stay well-defined.
+
+    Two implementations, same selected neighbor sets (ties toward the lower
+    index in both; equality-tested in ``tests/test_point_to_plane.py``):
+
+    * ``"select"`` — the TPU fast path: the 0/1 neighborhood matrix comes
+      from the radix k-smallest selection (:mod:`icp_tpu.ops.select`,
+      O(32 N) per row) and the centered covariance is a weighted broadcast
+      contraction XLA maps to batched matmuls — no ``lax.top_k`` sorting
+      networks, no dynamic gathers (both measured slow on TPU; this init
+      dominated gicp's round-1 throughput, BASELINE.md "Net-new method
+      throughput").
+    * ``"topk"`` — the round-1 ``lax.top_k`` + gather path, kept as the
+      oracle for tests.
     """
     k = min(k, points.shape[-2])
     d2 = pairwise_sq_dists(points, points)
     big = jnp.asarray(jnp.finfo(points.dtype).max, dtype=points.dtype)
     d2 = jnp.where(mask[..., None, :], d2, big)
+    if selector == "auto":
+        selector = "select"
+    if selector == "select":
+        from ..ops.select import select_smallest_weights
+
+        keep = jnp.full(d2.shape[:-1], k, dtype=jnp.int32)
+        w = select_smallest_weights(d2, keep, points.dtype)  # (..., M, N) 0/1
+        w = w * mask[..., None, :].astype(points.dtype)
+        sw = jnp.maximum(w.sum(axis=-1), 1.0)
+        center = (
+            jnp.einsum("...mn,...nd->...md", w, points, precision=HIGHEST)
+            / sw[..., None]
+        )
+        diff = points[..., None, :, :] - center[..., :, None, :]  # (..., M, N, D)
+        cov = jnp.einsum(
+            "...mni,...mnj,...mn->...mij", diff, diff, w, precision=HIGHEST
+        )
+        return cov, sw
+    if selector != "topk":
+        raise ValueError(f"unknown selector {selector!r}")
     # k nearest including self (self has distance 0).
     _, idx = jax.lax.top_k(-d2, k)  # (..., M, k)
     neigh = jnp.take_along_axis(

@@ -84,22 +84,50 @@ def stable_ranks(costs: Array) -> Array:
     return ranks.astype(jnp.int32)
 
 
-def trim_weights(costs: Array, valid_count: Array, overlap_rate: float, dtype) -> Array:
+def trim_weights(
+    costs: Array,
+    valid_count: Array,
+    overlap_rate: float,
+    dtype,
+    selector: str = "auto",
+) -> Array:
     """0/1 weights selecting the ``max(1, floor(overlap_rate * n))`` smallest costs.
 
     ``costs`` must be +inf at padded slots so they rank last.  ``valid_count``
     is the (traced) number of valid source points n.
+
+    ``selector`` picks how the keep-smallest set is found — both produce the
+    exact same weights (equality-tested in ``tests/test_select.py``):
+
+    * ``"radix"`` — bitwise binary search for the threshold value then a
+      cumsum over boundary ties (:mod:`icp_tpu.ops.select`), O(32 N) work
+      instead of the rank matrix's O(N^2); the default everywhere.  Measured
+      on the real chip at the bench shape (B, N) = (1024, 1024) f32: full
+      trimmed iterate 48.1 -> 35.8 ms (1.34x) — the O(N^2) rank pass was the
+      iterate's second-largest phase (BASELINE.md "Radix-select trim").
+    * ``"rank"`` — O(N^2) compare-count stable ranks (round-1 path), kept as
+      the oracle for equality tests.
     """
-    ranks = stable_ranks(costs)
     keep = jnp.floor(
         jnp.asarray(overlap_rate, dtype=dtype) * valid_count.astype(dtype)
     ).astype(jnp.int32)
     keep = jnp.maximum(keep, 1)  # ``trimmed.cpp:58``
+    if selector == "auto":
+        selector = "radix"
+    if selector == "radix":
+        from ..ops.select import select_smallest_weights
+
+        selected = select_smallest_weights(costs, keep, dtype)
+    elif selector == "rank":
+        ranks = stable_ranks(costs)
+        selected = (ranks < keep[..., None]).astype(dtype)
+    else:
+        raise ValueError(f"unknown selector {selector!r}")
     # Padded slots (cost +inf) can only be selected when the cloud has no
     # valid points at all (keep's floor of 1); zero them so an empty cloud
     # yields an identity step (documented deviation, as in trimmed_3d)
     # instead of dragging a padding point onto the target.
-    return (ranks < keep[..., None]).astype(dtype) * jnp.isfinite(costs).astype(dtype)
+    return selected * jnp.isfinite(costs).astype(dtype)
 
 
 def _compute_matches(a_current: Array, target: PointCloud, source_mask: Array):

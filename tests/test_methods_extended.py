@@ -298,3 +298,58 @@ def test_symmetric_converges_at_least_as_fast_as_p2l(rng):
     err = float(geometry.rotation_angle_3d(jnp.asarray(r.T) @ r_sym.transform.rotation))
     assert err < 5e-3
     assert int(r_sym.iteration_count) <= int(r_p2l.iteration_count) + 2
+
+
+def test_neighborhood_moments_select_equals_topk(rng):
+    """Radix-select moments must match the top_k+gather oracle path.
+
+    Same neighbor sets (both tie toward the lower index), so cov/sw agree up
+    to fp reassociation of the weighted sums.
+    """
+    from icp_tpu.methods.point_to_plane import neighborhood_moments
+
+    pts = np.asarray(surface_cloud_3d(rng, n=150))
+    mask = np.ones(150, dtype=bool)
+    mask[140:] = False  # padded tail
+    for k in (1, 5, 10, 149, 200):
+        cov_s, sw_s = neighborhood_moments(
+            jnp.asarray(pts), jnp.asarray(mask), k, selector="select"
+        )
+        cov_t, sw_t = neighborhood_moments(
+            jnp.asarray(pts), jnp.asarray(mask), k, selector="topk"
+        )
+        np.testing.assert_array_equal(np.asarray(sw_s), np.asarray(sw_t))
+        np.testing.assert_allclose(
+            np.asarray(cov_s), np.asarray(cov_t), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_neighborhood_moments_select_equals_topk_ties(rng):
+    """Grid cloud with exactly duplicated distances: tie sets must agree."""
+    from icp_tpu.methods.point_to_plane import neighborhood_moments
+
+    g = np.arange(6, dtype=np.float64)
+    pts = np.stack(np.meshgrid(g, g), axis=-1).reshape(-1, 2)  # 36 pts, many ties
+    mask = np.ones(len(pts), dtype=bool)
+    for k in (2, 4, 5, 9):
+        cov_s, sw_s = neighborhood_moments(
+            jnp.asarray(pts), jnp.asarray(mask), k, selector="select"
+        )
+        cov_t, sw_t = neighborhood_moments(
+            jnp.asarray(pts), jnp.asarray(mask), k, selector="topk"
+        )
+        np.testing.assert_array_equal(np.asarray(sw_s), np.asarray(sw_t))
+        np.testing.assert_allclose(
+            np.asarray(cov_s), np.asarray(cov_t), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_neighborhood_moments_all_masked():
+    from icp_tpu.methods.point_to_plane import neighborhood_moments
+
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)))
+    mask = jnp.zeros(8, dtype=bool)
+    for sel in ("select", "topk"):
+        cov, sw = neighborhood_moments(pts, mask, 4, selector=sel)
+        np.testing.assert_array_equal(np.asarray(sw), np.ones(8))
+        np.testing.assert_array_equal(np.asarray(cov), np.zeros((8, 3, 3)))
