@@ -37,13 +37,26 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class Method:
-    """A registered ICP method: pure init/iterate/cost over a state pytree."""
+    """A registered ICP method: pure init/iterate/cost over a state pytree.
+
+    ``precompute``/``with_precomputed`` (optional) expose per-cloud derived
+    data that ``init`` would otherwise recompute — surfel covariances
+    (gicp), normals (point_to_plane/symmetric).  ``precompute(cloud)``
+    returns the aux pytree for a (batched) cloud;
+    ``with_precomputed(aux_source, aux_target)`` returns a Method whose
+    ``init`` consumes it instead of re-estimating.  Sequential pipelines
+    (odometry: scan t is the target of pair t-1 AND the source of pair t)
+    precompute once per scan instead of twice — see
+    :func:`icp_tpu.odometry.chain_scans`.  No reference counterpart (the
+    reference registers exactly one pair per run)."""
 
     name: str
     dim: int
     init: Callable[[PointCloud, PointCloud, RigidTransform], Any]
     iterate: Callable[[Any], Any]
     cost: Callable[[Any], Array]
+    precompute: Callable[[PointCloud], Any] | None = None
+    with_precomputed: Callable[[Any, Any], "Method"] | None = None
 
 
 @dataclasses.dataclass(frozen=True)

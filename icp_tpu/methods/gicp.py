@@ -181,9 +181,12 @@ def create(config: Config) -> Method:
         matched_cb = jnp.take_along_axis(cov_b, idx[..., None, None], axis=-3)
         return matched_b, matched_cb
 
-    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> GicpState:
-        cov_a = surfel_covariances(source.points, source.mask, k, eps)
-        cov_b = surfel_covariances(target.points, target.mask, k, eps)
+    def precompute(cloud: PointCloud) -> Array:
+        """Per-cloud surfel covariances — the init-dominating estimation,
+        exposed for reuse across sequential registrations (odometry)."""
+        return surfel_covariances(cloud.points, cloud.mask, k, eps)
+
+    def _init_with(source, target, guess, cov_a, cov_b) -> GicpState:
         a_cur = geometry.apply(guess, source.points)
         sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
         matched_b, matched_cb = _gather_matches(target.points, cov_b, idx)
@@ -196,6 +199,11 @@ def create(config: Config) -> Method:
             gate = gate * (jnp.sqrt(sq) <= max_distance).astype(source.dtype)
         cost = jnp.where(source.mask, mahal * gate, jnp.inf)
         return GicpState(guess, source, target, cov_a, cov_b, idx, cost)
+
+    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> GicpState:
+        return _init_with(
+            source, target, guess, precompute(source), precompute(target)
+        )
 
     def iterate(state: GicpState) -> GicpState:
         src, tgt = state.source, state.target
@@ -285,4 +293,22 @@ def create(config: Config) -> Method:
         n = jnp.maximum(state.source.count.astype(finite.dtype), 1.0)
         return jnp.sqrt(jnp.sum(finite, axis=-1) / n)
 
-    return Method(name="gicp", dim=dim, init=init, iterate=iterate, cost=cost)
+    def with_precomputed(cov_a: Array, cov_b: Array) -> Method:
+        return Method(
+            name="gicp",
+            dim=dim,
+            init=lambda s, t, g: _init_with(s, t, g, cov_a, cov_b),
+            iterate=iterate,
+            cost=cost,
+            precompute=precompute,
+        )
+
+    return Method(
+        name="gicp",
+        dim=dim,
+        init=init,
+        iterate=iterate,
+        cost=cost,
+        precompute=precompute,
+        with_precomputed=with_precomputed,
+    )

@@ -168,11 +168,17 @@ def create(config: Config) -> Method:
     # an explicit 0.0 is respected (rejects everything), unlike a falsy-collapse
     dim = int(config.get("dim", 3))
 
-    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> PointToPlaneState:
-        normals = estimate_normals(target.points, target.mask, k)
+    def precompute(cloud: PointCloud) -> Array:
+        """Per-cloud unit normals (only the target's are consumed)."""
+        return estimate_normals(cloud.points, cloud.mask, k)
+
+    def _init_with(source, target, guess, normals) -> PointToPlaneState:
         a_cur = geometry.apply(guess, source.points)
         idx, cost = _matches(a_cur, target, normals, source.mask)
         return PointToPlaneState(guess, source, target, normals, idx, cost)
+
+    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> PointToPlaneState:
+        return _init_with(source, target, guess, precompute(target))
 
     def _matches(a_cur, target, normals, src_mask):
         sq, idx = nearest_neighbors(a_cur, target.points, target.mask)
@@ -218,4 +224,23 @@ def create(config: Config) -> Method:
         n = jnp.maximum(state.source.count.astype(finite.dtype), 1.0)
         return jnp.sqrt(jnp.sum(finite, axis=-1) / n)
 
-    return Method(name="point_to_plane", dim=dim, init=init, iterate=iterate, cost=cost)
+    def with_precomputed(normals_a, normals_b) -> Method:
+        # Only the target's normals participate in the objective.
+        return Method(
+            name="point_to_plane",
+            dim=dim,
+            init=lambda s, t, g: _init_with(s, t, g, normals_b),
+            iterate=iterate,
+            cost=cost,
+            precompute=precompute,
+        )
+
+    return Method(
+        name="point_to_plane",
+        dim=dim,
+        init=init,
+        iterate=iterate,
+        cost=cost,
+        precompute=precompute,
+        with_precomputed=with_precomputed,
+    )

@@ -96,15 +96,22 @@ def create(config: Config) -> Method:
         matched_nb = jnp.take_along_axis(state.normals_b, idx[..., None], axis=-2)
         return matched_b, matched_nb
 
-    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> SymmetricState:
-        normals_a = estimate_normals(source.points, source.mask, k)
-        normals_b = estimate_normals(target.points, target.mask, k)
+    def precompute(cloud: PointCloud) -> Array:
+        """Per-cloud unit normals (both clouds' participate here)."""
+        return estimate_normals(cloud.points, cloud.mask, k)
+
+    def _init_with(source, target, guess, normals_a, normals_b) -> SymmetricState:
         a_cur = geometry.apply(guess, source.points)
         _, idx = nearest_neighbors(a_cur, target.points, target.mask)
         matched_b = jnp.take_along_axis(target.points, idx[..., None], axis=-2)
         matched_nb = jnp.take_along_axis(normals_b, idx[..., None], axis=-2)
         cost = _plane_cost(guess, source, matched_b, matched_nb, normals_a)
         return SymmetricState(guess, source, target, normals_a, normals_b, idx, cost)
+
+    def init(source: PointCloud, target: PointCloud, guess: RigidTransform) -> SymmetricState:
+        return _init_with(
+            source, target, guess, precompute(source), precompute(target)
+        )
 
     def iterate(state: SymmetricState) -> SymmetricState:
         src, tgt = state.source, state.target
@@ -147,4 +154,22 @@ def create(config: Config) -> Method:
         n = jnp.maximum(state.source.count.astype(finite.dtype), 1.0)
         return jnp.sqrt(jnp.sum(finite, axis=-1) / n)
 
-    return Method(name="symmetric", dim=dim, init=init, iterate=iterate, cost=cost)
+    def with_precomputed(normals_a, normals_b) -> Method:
+        return Method(
+            name="symmetric",
+            dim=dim,
+            init=lambda s, t, g: _init_with(s, t, g, normals_a, normals_b),
+            iterate=iterate,
+            cost=cost,
+            precompute=precompute,
+        )
+
+    return Method(
+        name="symmetric",
+        dim=dim,
+        init=init,
+        iterate=iterate,
+        cost=cost,
+        precompute=precompute,
+        with_precomputed=with_precomputed,
+    )

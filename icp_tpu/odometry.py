@@ -94,6 +94,16 @@ def chain_scans(
     dim = scans.dim
     sources = PointCloud(scans.points[:-1], scans.count[:-1])
     targets = PointCloud(scans.points[1:], scans.count[1:])
+    if method.precompute is not None and method.with_precomputed is not None:
+        # Scan t is the target of pair t-1 AND the source of pair t: derive
+        # per-scan data (surfel covariances, normals) ONCE for the stack
+        # instead of twice per interior scan — the init-dominating cost for
+        # gicp/point_to_plane/symmetric (BASELINE.md "Net-new method
+        # throughput").
+        aux = jax.jit(method.precompute)(scans)
+        method = method.with_precomputed(
+            jax.tree.map(lambda x: x[:-1], aux), jax.tree.map(lambda x: x[1:], aux)
+        )
     if guesses is None and coarse:
         from .ops.coarse import coarse_align_2d, coarse_align_3d
 

@@ -45,6 +45,11 @@ def pairwise_sq_dists(query: Array, targets: Array) -> Array:
     nothing from a K=2 contraction, and the direct form avoids the
     catastrophic cancellation the expansion suffers in fp32.  XLA fuses the
     subtract/square/accumulate chain into a single VPU loop.
+
+    Measured on the real chip (round 2, ``scripts/nn_mxu_probe.py``,
+    (1024, 1024, 1024) f32): the expansion is not faster at ANY precision —
+    direct 28.2 ms vs 27.5 (DEFAULT bf16: 40% wrong argmins), 30.5 (HIGH:
+    0.4% wrong), 38.5 (HIGHEST: 26/1M wrong, max regret 4e-6).  Closed.
     """
     dim = query.shape[-1]
     acc = None

@@ -486,3 +486,41 @@ def test_pose_graph_large_pcg(rng):
     opt, costs = pose_graph.optimize(graph, iterations=4)  # auto -> pcg
     assert float(costs[-1]) < float(costs[0])
     assert np.all(np.isfinite(np.asarray(opt.poses.translation)))
+
+
+@pytest.mark.parametrize("name", ["gicp", "point_to_plane", "symmetric"])
+def test_chain_scans_precompute_cache_matches_uncached(rng, name):
+    """Per-scan precompute caching (covariances/normals computed once per
+    scan, sliced into source/target stacks) must reproduce the uncached
+    per-pair path: identical per-scan inputs -> identical derived data."""
+    from icp_tpu.driver import converge
+
+    scans_np, _ = make_scan_sequence(rng)
+    scans = icp.stack(
+        [icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np]
+    )
+    method = icp.from_method(
+        name, 2, icp.Config(dim=2, neighbors=8, normal_neighbors=8)
+    )
+    assert method.precompute is not None and method.with_precomputed is not None
+    cfg = icp.DriverConfig(
+        max_iterations=12, angle_tolerance=1e-6, translation_tolerance=1e-6
+    )
+
+    traj_cached = odometry.chain_scans(scans, method, cfg)
+
+    sources = icp.cloud.PointCloud(scans.points[:-1], scans.count[:-1])
+    targets = icp.cloud.PointCloud(scans.points[1:], scans.count[1:])
+    guesses = geometry.identity(2, (scans.points.shape[0] - 1,), dtype=np.float64)
+    result_uncached, _ = converge(method, sources, targets, guesses, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(traj_cached.relative.rotation),
+        np.asarray(result_uncached.transform.rotation),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_cached.relative.translation),
+        np.asarray(result_uncached.transform.translation),
+        atol=1e-12,
+    )
