@@ -23,6 +23,7 @@ Quick start (mirrors the reference README usage, ``README.md:22-39``)::
 """
 
 from . import (
+    aot,
     checkpoint,
     geometry,
     io,

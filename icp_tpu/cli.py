@@ -128,6 +128,14 @@ def cmd_register(args):
         result, _ = converge_multiscale(
             method, source, target, guess, cfg, factors=(4,), coarse_max_iterations=30
         )
+    elif args.aot_cache is not None:
+        from . import aot
+
+        converge_fn = aot.cached_jit(
+            lambda s, t, g: icp.converge(method, s, t, g, cfg),
+            directory=args.aot_cache or None,
+        )
+        result, _ = converge_fn(source, target, guess)
     else:
         result, _ = icp.converge(method, source, target, guess, cfg)
     rotation = np.asarray(result.transform.rotation)
@@ -478,6 +486,14 @@ def main(argv=None):
         "--coarse", action="store_true",
         help="global rotation initializer: bearing-histogram correlation (2D) "
         "or principal-axes candidates (3D)",
+    )
+    p_reg.add_argument(
+        "--aot-cache",
+        nargs="?",
+        const="",
+        metavar="DIR",
+        help="disk-cache the compiled executable (icp_tpu.aot); "
+        "optional DIR overrides the default cache directory",
     )
     p_reg.add_argument("--json", action="store_true")
     p_reg.add_argument("--out-ply", help="write transformed source cloud")

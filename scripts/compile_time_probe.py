@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--tag", default="run")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--serialize", action="store_true", help="probe executable serialization")
+    ap.add_argument(
+        "--aot",
+        action="store_true",
+        help="use icp_tpu.aot.cached_jit (cross-process AOT cache); run twice — "
+        "the second process should report aot_hits=1 and a sub-second start",
+    )
     args = ap.parse_args()
 
     import jax
@@ -73,6 +79,23 @@ def main():
         angle_tolerance=0.1 * np.pi / 180,
         translation_tolerance=0.01,
     )
+
+    if args.aot:
+        from icp_tpu import aot
+
+        cached = aot.cached_jit(
+            lambda s, t, g: icp.converge(method, s, t, g, cfg),
+            directory=os.path.join(REPO, ".aot_cache"),
+        )
+        t0 = time.perf_counter()
+        result, _ = cached(a, b, guess)
+        float(jnp.sum(result.cost))
+        out["aot_total_first_run_s"] = round(time.perf_counter() - t0, 3)
+        out["aot_hits"] = cached.cache.hits
+        out["aot_misses"] = cached.cache.misses
+        out["aot_errors"] = cached.cache.errors
+        print(json.dumps(out))
+        return
 
     fn = jax.jit(lambda s, t, g: icp.converge(method, s, t, g, cfg))
 

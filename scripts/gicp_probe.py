@@ -58,7 +58,8 @@ def main():
     # ~520 pairs/s with the top_k path).
     data_dir = "/root/reference/ex_data"
     if not os.path.isdir(data_dir):
-        data_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ex_data")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        data_dir = os.path.join(repo, "ex_data")
     import jax.tree as jtree
 
     a_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/first.csv")
