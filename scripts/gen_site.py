@@ -33,6 +33,7 @@ TOP_PAGES = [
     ("docs/parity.md", "parity.html", "Reference parity"),
     ("docs/parallel.md", "parallel.html", "Parallelism"),
     ("docs/deployment.md", "deployment.html", "Deployment"),
+    ("docs/datasets.md", "datasets.html", "Datasets"),
     ("docs/writing_methods.md", "writing_methods.html", "Writing methods"),
     ("docs/methods.md", "methods.html", "Methods"),
     ("README.md", "readme.html", "README"),
