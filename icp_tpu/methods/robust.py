@@ -46,13 +46,19 @@ def masked_median(values: Array, mask: Array) -> Array:
     """Median of the masked entries (per batch element).
 
     Masked slots are pushed to +inf; the median index is derived from the
-    valid count so padding never contaminates the estimate.
+    valid count so padding never contaminates the estimate.  Selection is
+    the radix k-th-smallest (``ops/select.py``) — bit-identical to
+    ``sort(v)[count // 2]`` but O(32 N) branch-free VPU work instead of a
+    sorting network, and this runs every iteration of every robust-family
+    converge (measured as part of the radix-trim work, BASELINE.md
+    "Radix-select trim").
     """
+    from ..ops.select import kth_smallest_value
+
     big = jnp.asarray(jnp.inf, dtype=values.dtype)
-    v = jnp.sort(jnp.where(mask, values, big), axis=-1)
+    v = jnp.where(mask, values, big)
     count = jnp.sum(mask, axis=-1)
-    mid = jnp.maximum(count // 2, 0)
-    return jnp.take_along_axis(v, mid[..., None], axis=-1)[..., 0]
+    return kth_smallest_value(v, jnp.maximum(count // 2, 0) + 1)
 
 
 @jax.tree_util.register_dataclass

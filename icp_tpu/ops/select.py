@@ -78,6 +78,29 @@ def kth_smallest(values: Array, k: Array) -> Array:
     return lo  # bit pattern in the order-preserving domain
 
 
+def _bits_to_float(b: Array, dtype) -> Array:
+    """Inverse of :func:`_order_preserving_bits`."""
+    udtype = b.dtype
+    nbits = jnp.iinfo(udtype).bits
+    sign = jnp.asarray(1, dtype=udtype) << (nbits - 1)
+    positive = (b & sign) != 0
+    ub = jnp.where(positive, b & ~sign, ~b)
+    return jax.lax.bitcast_convert_type(ub, dtype)
+
+
+def kth_smallest_value(values: Array, k: Array) -> Array:
+    """Per-row k-th smallest (1-indexed) as a float — ``sort(v)[..., k-1]``
+    without the sort.
+
+    Exact: returns the very bits of the selected element (modulo -0.0
+    canonicalized to +0.0).  The robust methods' per-iteration median is
+    this with ``k = count // 2 + 1`` (masked slots pushed to +inf), at
+    O(32 N) branch-free VPU work instead of an O(N log^2 N) sorting
+    network.
+    """
+    return _bits_to_float(kth_smallest(values, k), values.dtype)
+
+
 def select_smallest_weights(costs: Array, keep: Array, dtype=None) -> Array:
     """0/1 weights marking the ``keep`` smallest entries per row, stable ties.
 

@@ -49,3 +49,28 @@ def local_data_dir():
 @pytest.fixture
 def rng():
     return np.random.default_rng(123)
+
+
+# XLA:CPU leaks mmap regions per compiled program (~560 for one batched
+# converge on the 8-device backend; measured).  A full-suite run crosses the
+# kernel's vm.max_map_count default (65530) and segfaults *inside the XLA
+# compiler* — deterministically at whichever test issues the ~250th heavy
+# compile.  jax.clear_caches() releases the regions (measured 7318 -> 570),
+# so drop the executable caches whenever the map count nears the limit;
+# the handful of extra recompiles costs a few seconds per run.
+_MAP_COUNT_LIMIT = 30_000
+
+
+def _mmap_region_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no limit to guard
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _xla_mmap_guard():
+    yield
+    if _mmap_region_count() > _MAP_COUNT_LIMIT:
+        jax.clear_caches()

@@ -127,3 +127,34 @@ def test_jit_and_vmap():
     )
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(jitted))
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(vmapped))
+
+
+def test_kth_smallest_value_matches_sort():
+    """kth_smallest_value == sort(v)[k-1] bitwise, incl. negatives/inf/f64
+    (it backs the robust methods' per-iteration masked median)."""
+    from icp_tpu.ops.select import kth_smallest_value
+
+    rng = np.random.default_rng(11)
+    for dtype in (np.float32, np.float64):
+        vals = rng.normal(0, 5, (5, 97)).astype(dtype)
+        vals[:, 90:] = np.inf  # masked-slot convention
+        vals[0, :3] = [0.0, -0.0, 2.0]  # -0.0 canonicalization
+        v = jnp.asarray(vals)
+        ref = np.sort(vals, axis=-1)
+        for k in (1, 2, 48, 90, 97):
+            got = np.asarray(kth_smallest_value(v, jnp.asarray(k)))
+            np.testing.assert_array_equal(got, ref[:, k - 1])
+
+
+def test_masked_median_radix_equals_sort_path():
+    from icp_tpu.methods.robust import masked_median
+
+    rng = np.random.default_rng(12)
+    vals = jnp.asarray(rng.uniform(0, 9, (7, 64)))
+    mask = jnp.asarray(rng.uniform(size=(7, 64)) > 0.3)
+    got = np.asarray(masked_median(vals, mask))
+    big = jnp.asarray(np.inf, dtype=vals.dtype)
+    v = np.sort(np.asarray(jnp.where(mask, vals, big)), axis=-1)
+    count = np.asarray(jnp.sum(mask, axis=-1))
+    expect = v[np.arange(7), np.maximum(count // 2, 0)]
+    np.testing.assert_array_equal(got, expect)
