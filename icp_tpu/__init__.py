@@ -35,6 +35,7 @@ from . import (
     ops,
     parallel,
     pose_graph,
+    resilient,
     serve,
     slam,
 )
