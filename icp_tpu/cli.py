@@ -125,19 +125,23 @@ def cmd_register(args):
     if args.multiscale:
         from .multiscale import converge_multiscale
 
-        result, _ = converge_multiscale(
-            method, source, target, guess, cfg, factors=(4,), coarse_max_iterations=30
-        )
-    elif args.aot_cache is not None:
+        def converge_fn(s, t, g):
+            return converge_multiscale(
+                method, s, t, g, cfg, factors=(4,), coarse_max_iterations=30
+            )
+
+    else:
+
+        def converge_fn(s, t, g):
+            return icp.converge(method, s, t, g, cfg)
+
+    if args.aot_cache is not None:
+        # Composes with --multiscale: the whole (possibly pyramid) program
+        # is one traced function, so it AOT-caches like any other.
         from . import aot
 
-        converge_fn = aot.cached_jit(
-            lambda s, t, g: icp.converge(method, s, t, g, cfg),
-            directory=args.aot_cache or None,
-        )
-        result, _ = converge_fn(source, target, guess)
-    else:
-        result, _ = icp.converge(method, source, target, guess, cfg)
+        converge_fn = aot.cached_jit(converge_fn, directory=args.aot_cache or None)
+    result, _ = converge_fn(source, target, guess)
     rotation = np.asarray(result.transform.rotation)
     dt = time.perf_counter() - t0
 

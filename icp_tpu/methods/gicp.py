@@ -39,7 +39,6 @@ import jax.numpy as jnp
 from .. import geometry, lie
 from ..cloud import PointCloud
 from ..config import Config
-from ..geometry import RigidTransform
 from ..geometry import HIGHEST, RigidTransform
 from ..ops.nn import nearest_neighbors
 from ..ops.rigid_fit import _jacobi_eigh_sym

@@ -51,7 +51,7 @@ def neighborhood_moments(points: Array, mask: Array, k: int, selector: str = "au
     with fewer valid points than ``k`` stay well-defined.
 
     Two implementations, same selected neighbor sets (ties toward the lower
-    index in both; equality-tested in ``tests/test_point_to_plane.py``):
+    index in both; equality-tested in ``tests/test_methods_extended.py``):
 
     * ``"select"`` — the TPU fast path: the 0/1 neighborhood matrix comes
       from the radix k-smallest selection (:mod:`icp_tpu.ops.select`,

@@ -94,12 +94,15 @@ def chain_scans(
     dim = scans.dim
     sources = PointCloud(scans.points[:-1], scans.count[:-1])
     targets = PointCloud(scans.points[1:], scans.count[1:])
-    if method.precompute is not None and method.with_precomputed is not None:
+    if method.precompute is not None and method.with_precomputed is not None and not multiscale:
         # Scan t is the target of pair t-1 AND the source of pair t: derive
         # per-scan data (surfel covariances, normals) ONCE for the stack
         # instead of twice per interior scan — the init-dominating cost for
         # gicp/point_to_plane/symmetric (BASELINE.md "Net-new method
-        # throughput").
+        # throughput").  Skipped under multiscale: the pyramid registers
+        # DECIMATED clouds, and full-resolution aux is shape-incompatible
+        # with (gicp/symmetric) or silently misindexed by (point_to_plane)
+        # the decimated levels — each level derives its own aux instead.
         aux = jax.jit(method.precompute)(scans)
         method = method.with_precomputed(
             jax.tree.map(lambda x: x[:-1], aux), jax.tree.map(lambda x: x[1:], aux)
@@ -154,6 +157,41 @@ def select_keyframes(
     return np.asarray(keep, dtype=np.int64)
 
 
+def stream_step(
+    fn,
+    keyframe: PointCloud,
+    kf_pose: RigidTransform,
+    scan: PointCloud,
+    translation_threshold: float,
+    angle_threshold: float,
+):
+    """One streaming-odometry advance: register ``keyframe -> scan`` and
+    decide keyframe promotion.  Returns ``(pose, is_keyframe, result)``.
+
+    The single source of the streaming registration semantics — shared by
+    :func:`stream_odometry` and the crash-resumable runner
+    (:func:`icp_tpu.resilient.resumable_stream_odometry`), so the
+    bit-identical-resume contract cannot drift.
+    """
+    result, _ = fn(keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
+    # keyframe->scan registration transform T: pose advances by inv(T).
+    pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
+    delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))
+    delta_a = abs(
+        float(
+            geometry.rotation_angle(
+                jnp.matmul(
+                    pose.rotation,
+                    jnp.swapaxes(kf_pose.rotation, -1, -2),
+                    precision=geometry.HIGHEST,
+                )
+            )
+        )
+    )
+    is_kf = delta_t > translation_threshold or delta_a > angle_threshold
+    return pose, is_kf, result
+
+
 def stream_odometry(
     scans,
     method: Method,
@@ -188,22 +226,9 @@ def stream_odometry(
             pose = kf_pose
             yield pose, True, None
             continue
-        result, _ = fn(keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
-        # keyframe->scan registration transform T: pose advances by inv(T).
-        pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
-        delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))
-        delta_a = abs(
-            float(
-                geometry.rotation_angle(
-                    jnp.matmul(
-                        pose.rotation,
-                        jnp.swapaxes(kf_pose.rotation, -1, -2),
-                        precision=geometry.HIGHEST,
-                    )
-                )
-            )
+        pose, is_kf, result = stream_step(
+            fn, keyframe, kf_pose, scan, translation_threshold, angle_threshold
         )
-        is_kf = delta_t > translation_threshold or delta_a > angle_threshold
         if metrics is not None:
             metrics.log(
                 "odometry_step",

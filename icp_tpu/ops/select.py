@@ -93,12 +93,15 @@ def kth_smallest_value(values: Array, k: Array) -> Array:
     without the sort.
 
     Exact: returns the very bits of the selected element (modulo -0.0
-    canonicalized to +0.0).  The robust methods' per-iteration median is
-    this with ``k = count // 2 + 1`` (masked slots pushed to +inf), at
-    O(32 N) branch-free VPU work instead of an O(N log^2 N) sorting
-    network.
+    canonicalized to +0.0).  ``k > N`` returns +inf (the bit search's
+    all-ones pattern would otherwise decode to NaN).  The robust methods'
+    per-iteration median is this with ``k = count // 2 + 1`` (masked slots
+    pushed to +inf), at O(32 N) branch-free VPU work instead of an
+    O(N log^2 N) sorting network.
     """
-    return _bits_to_float(kth_smallest(values, k), values.dtype)
+    out = _bits_to_float(kth_smallest(values, k), values.dtype)
+    overrun = jnp.asarray(k) > values.shape[-1]
+    return jnp.where(overrun, jnp.asarray(jnp.inf, dtype=values.dtype), out)
 
 
 def select_smallest_weights(costs: Array, keep: Array, dtype=None) -> Array:

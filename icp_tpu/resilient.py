@@ -139,7 +139,7 @@ def resumable_stream_odometry(
     import jax.numpy as jnp
 
     from .driver import make_converge_fn
-    from .odometry import stream_odometry  # noqa: F401  (semantics contract)
+    from .odometry import stream_step
 
     manager = CheckpointManager(checkpoint_dir)
     fn = make_converge_fn(method, config)
@@ -177,21 +177,9 @@ def resumable_stream_odometry(
             yield t, pose, True, None
             continue
 
-        result, _ = fn(keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
-        pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
-        delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))
-        delta_a = abs(
-            float(
-                geometry.rotation_angle(
-                    jnp.matmul(
-                        pose.rotation,
-                        jnp.swapaxes(kf_pose.rotation, -1, -2),
-                        precision=geometry.HIGHEST,
-                    )
-                )
-            )
+        pose, is_kf, result = stream_step(
+            fn, keyframe, kf_pose, scan, translation_threshold, angle_threshold
         )
-        is_kf = delta_t > translation_threshold or delta_a > angle_threshold
         if is_kf:
             keyframe = scan
             kf_pose = pose

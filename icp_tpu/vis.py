@@ -224,6 +224,7 @@ def assemble_animation(
     import glob
     import json as _json
 
+    fps = max(1, int(fps))  # fps<=0 would div-by-zero (GIF) / stall (HTML)
     frames = sorted(glob.glob(os.path.join(frame_dir, "frame_*.png")))
     if not frames:
         raise FileNotFoundError(f"no frame_*.png under {frame_dir}")

@@ -19,8 +19,10 @@ self-contained):
 - ``ex_data/seq1/groundtruth.json`` — world-frame poses [x, y, theta] per
   sweep, used by ``examples/odometry_sequence.py`` to report drift/ATE.
 
-Deterministic (seeded); re-running reproduces the committed files.
-Run: python scripts/make_lidar_seq.py [--steps 40] [--beams 540]
+Deterministic (seeded); re-running with the defaults reproduces the
+committed files byte-for-byte (pinned by
+``tests/test_seq1_odometry.py::test_generator_reproduces_committed_data``).
+Run: python scripts/make_lidar_seq.py [--steps 120] [--beams 540]
 """
 
 import argparse
@@ -180,7 +182,7 @@ def raycast(origin, angles, segs, range_max):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--beams", type=int, default=540)
     ap.add_argument("--fov-deg", type=float, default=270.0)
     ap.add_argument("--noise", type=float, default=0.01, help="range noise sigma (m)")

@@ -524,3 +524,22 @@ def test_chain_scans_precompute_cache_matches_uncached(rng, name):
         np.asarray(result_uncached.transform.translation),
         atol=1e-12,
     )
+
+
+@pytest.mark.parametrize("name", ["gicp", "point_to_plane", "symmetric"])
+def test_chain_scans_multiscale_with_precompute_methods(rng, name):
+    """multiscale=True must not feed full-resolution precomputed aux to the
+    decimated pyramid levels (was a trace-time shape crash for gicp/
+    symmetric, silent normal misindexing for point_to_plane)."""
+    scans_np, _ = make_scan_sequence(rng)
+    scans = icp.stack(
+        [icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np]
+    )
+    method = icp.from_method(
+        name, 2, icp.Config(dim=2, neighbors=8, normal_neighbors=8)
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=12, angle_tolerance=1e-6, translation_tolerance=1e-6
+    )
+    traj = odometry.chain_scans(scans, method, cfg, multiscale=True)
+    assert np.all(np.isfinite(np.asarray(traj.poses.translation)))

@@ -158,3 +158,11 @@ def test_masked_median_radix_equals_sort_path():
     count = np.asarray(jnp.sum(mask, axis=-1))
     expect = v[np.arange(7), np.maximum(count // 2, 0)]
     np.testing.assert_array_equal(got, expect)
+
+
+def test_kth_smallest_value_k_exceeds_n_is_inf():
+    from icp_tpu.ops.select import kth_smallest_value
+
+    v = jnp.asarray(np.array([[1.0, 2.0, 3.0]], dtype=np.float32))
+    got = np.asarray(kth_smallest_value(v, jnp.asarray(5)))
+    assert np.all(np.isinf(got)) and np.all(got > 0)
