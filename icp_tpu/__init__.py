@@ -39,7 +39,7 @@ from . import (
     serve,
     slam,
 )
-from .cloud import PointCloud, from_points, pad_to, stack, to_numpy
+from .cloud import PointCloud, bucket_capacity, from_points, pad_to, stack, to_numpy
 from .config import Config
 from .driver import ConvergenceState, DriverConfig, converge, converge_stepped, make_converge_fn
 from .geometry import RigidTransform, apply, compose, from_angle_2d, identity, inverse
@@ -69,6 +69,7 @@ __all__ = [
     "from_angle_2d",
     "from_method",
     "get_matches",
+    "bucket_capacity",
     "from_points",
     "identity",
     "inverse",

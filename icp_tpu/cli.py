@@ -84,28 +84,32 @@ def _add_driver_flags(p):
     p.add_argument("--relative-cost-tolerance", type=float, default=None)
 
 
-def _load_scan(path: str):
+def _load_scan(path: str, capacity=None):
     """Load a 2D scan by extension: ``.conf`` polar sweep, else CSV."""
     import icp_tpu as icp
 
     if path.endswith(".conf"):
         from .io import parse_sweep
 
-        return parse_sweep(path)
-    return icp.parse_lidar_scan(path)
+        return parse_sweep(path, capacity=capacity)
+    return icp.parse_lidar_scan(path, capacity=capacity)
 
 
 def cmd_register(args):
     import icp_tpu as icp
 
     config = _parse_config(args.config)
+    # Power-of-two capacity buckets by default: different-size inputs land
+    # on a handful of compiled programs (one remote-TPU compile costs
+    # minutes; results are capacity-invariant by the masking contract).
+    cap = None if args.exact_capacity else "bucket"
     if args.ply:
-        source = icp.from_points(icp.read_ply(args.src), dtype=np.float32)
-        target = icp.from_points(icp.read_ply(args.dst), dtype=np.float32)
+        source = icp.from_points(icp.read_ply(args.src), capacity=cap, dtype=np.float32)
+        target = icp.from_points(icp.read_ply(args.dst), capacity=cap, dtype=np.float32)
         dim = 3
     else:
-        source = _load_scan(args.src)
-        target = _load_scan(args.dst)
+        source = _load_scan(args.src, capacity=cap)
+        target = _load_scan(args.dst, capacity=cap)
         dim = 2
     if args.sor:
         from .ops.filters import remove_statistical_outliers
@@ -498,6 +502,12 @@ def main(argv=None):
         metavar="DIR",
         help="disk-cache the compiled executable (icp_tpu.aot); "
         "optional DIR overrides the default cache directory",
+    )
+    p_reg.add_argument(
+        "--exact-capacity", action="store_true",
+        help="pad clouds to their exact (sublane-aligned) size instead of "
+        "power-of-two buckets (buckets let different-size inputs share "
+        "compiled programs / AOT cache entries)",
     )
     p_reg.add_argument("--json", action="store_true")
     p_reg.add_argument("--out-ply", help="write transformed source cloud")

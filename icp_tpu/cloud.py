@@ -27,6 +27,26 @@ def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def bucket_capacity(n: int, min_capacity: int = 64) -> int:
+    """Smallest power-of-two capacity >= ``n`` (floored at ``min_capacity``).
+
+    Shape bucketing: padding every cloud to a power-of-two capacity maps
+    arbitrary input sizes onto O(log N) distinct compiled programs instead
+    of one per size — e.g. the reference's scan1/2/3 (953/766/562 valid
+    points) all land in the 1024 bucket and share a single executable (and
+    a single :mod:`icp_tpu.aot` cache entry).  Results are unaffected:
+    padded slots are masked out of every reduction (the static-shape
+    contract), pinned by ``tests/test_geometry.py::test_capacity_invariance``.
+    The XLA compile over the remote TPU tunnel costs minutes; the extra
+    padded rows cost microseconds.
+    """
+    cap = max(int(min_capacity), 1)
+    n = int(n)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PointCloud:
@@ -65,15 +85,17 @@ class PointCloud:
 
 def from_points(
     points,
-    capacity: int | None = None,
+    capacity: int | str | None = None,
     dtype=None,
     pad_multiple: int = 8,
 ) -> PointCloud:
     """Build a cloud from an ``(N, D)`` (or batched) array, padding to capacity.
 
     ``capacity`` defaults to ``N`` rounded up to ``pad_multiple`` (TPU sublane
-    alignment).  Non-finite rows are dropped first for unbatched input,
-    mirroring the reference's inf filter (``common/parse_scan.cpp:37-39``).
+    alignment); the string ``"bucket"`` pads to the next power of two instead
+    (:func:`bucket_capacity` — different-size inputs share compiled programs).
+    Non-finite rows are dropped first for unbatched input, mirroring the
+    reference's inf filter (``common/parse_scan.cpp:37-39``).
     """
     pts = np.asarray(points)
     if dtype is not None:
@@ -82,7 +104,12 @@ def from_points(
         finite = np.isfinite(pts).all(axis=-1)
         pts = pts[finite]
         n = pts.shape[0]
-        cap = capacity if capacity is not None else max(round_up(n, pad_multiple), pad_multiple)
+        if capacity == "bucket":
+            cap = bucket_capacity(n)
+        elif capacity is not None:
+            cap = capacity
+        else:
+            cap = max(round_up(n, pad_multiple), pad_multiple)
         if n > cap:
             raise ValueError(f"{n} points exceed capacity {cap}")
         padded = np.zeros((cap, pts.shape[1]), dtype=pts.dtype)

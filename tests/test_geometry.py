@@ -83,3 +83,61 @@ def test_batched_transforms(rng):
             t.translation[i]
         )
         np.testing.assert_allclose(out[i], expected, atol=1e-12)
+
+
+def test_bucket_capacity_series():
+    from icp_tpu.cloud import bucket_capacity
+
+    assert bucket_capacity(0) == 64
+    assert bucket_capacity(1) == 64
+    assert bucket_capacity(64) == 64
+    assert bucket_capacity(65) == 128
+    assert bucket_capacity(562) == 1024
+    assert bucket_capacity(953) == 1024
+    assert bucket_capacity(1024) == 1024
+    assert bucket_capacity(1025) == 2048
+
+
+def test_from_points_bucket_capacity(rng):
+    import icp_tpu as icp
+
+    cloud = icp.from_points(rng.normal(size=(700, 2)), capacity="bucket")
+    assert cloud.capacity == 1024
+    assert int(cloud.count) == 700
+
+
+def test_capacity_invariance(rng):
+    """Padding capacity must not change registration results (the masking
+    contract behind capacity bucketing): the same pair registered at tight
+    vs bucketed capacity agrees to fp64 roundoff."""
+    import icp_tpu as icp
+
+    pts = rng.uniform(-10.0, 10.0, (300, 2))
+    ang = 0.15
+    rot = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+    tgt = pts @ rot.T + np.array([0.4, -0.2])
+    cfg = icp.DriverConfig(
+        max_iterations=30, angle_tolerance=1e-6, translation_tolerance=1e-6
+    )
+    results = []
+    for cap in (304, "bucket", 2048):
+        src_c = icp.from_points(pts, capacity=cap, dtype=np.float64)
+        tgt_c = icp.from_points(tgt, capacity=cap, dtype=np.float64)
+        method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+        result, _ = icp.converge(
+            method, src_c, tgt_c, icp.identity(2, dtype=np.float64), cfg
+        )
+        results.append(result)
+    base = results[0]
+    for other in results[1:]:
+        assert int(other.iteration_count) == int(base.iteration_count)
+        np.testing.assert_allclose(
+            np.asarray(other.transform.translation),
+            np.asarray(base.transform.translation),
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(other.transform.rotation),
+            np.asarray(base.transform.rotation),
+            atol=1e-9,
+        )
