@@ -303,6 +303,14 @@ def cmd_bench(args):
                 print(batched_line)
 
 
+def _cli_capacity(cap: int, args) -> int:
+    """Bucketed capacity unless --exact-capacity (see cloud.bucket_capacity:
+    different-size sequences then share compiled programs / AOT entries)."""
+    from .cloud import bucket_capacity
+
+    return cap if getattr(args, "exact_capacity", False) else bucket_capacity(cap)
+
+
 def cmd_odometry(args):
     import jax.numpy as jnp
 
@@ -315,7 +323,7 @@ def cmd_odometry(args):
         clouds = [
             icp.from_points(icp.read_ply(p), dtype=np.float32) for p in args.scans
         ]
-        cap = max(c.capacity for c in clouds)
+        cap = _cli_capacity(max(c.capacity for c in clouds), args)
         clouds = [icp.pad_to(c, cap) for c in clouds]
         if not args.scan_to_map:
             scans = icp.stack(clouds)
@@ -338,7 +346,7 @@ def cmd_odometry(args):
                 )
         if not args.ply:
             clouds = [_load_scan(p) for p in args.scans]
-            cap = max(c.capacity for c in clouds)
+            cap = _cli_capacity(max(c.capacity for c in clouds), args)
             clouds = [icp.pad_to(c, cap) for c in clouds]
         cfg = _driver_config(args)
         method = _make_method(args.method, dim, _parse_config(args.config))
@@ -384,9 +392,13 @@ def cmd_odometry(args):
             from .io import parse_lidar_scan_batch
 
             scans = parse_lidar_scan_batch(args.scans)
+            if not getattr(args, "exact_capacity", False):
+                from .cloud import bucket_capacity
+
+                scans = icp.pad_to(scans, bucket_capacity(scans.capacity))
         else:
             clouds = [_load_scan(p) for p in args.scans]
-            cap = max(c.capacity for c in clouds)
+            cap = _cli_capacity(max(c.capacity for c in clouds), args)
             scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
     method = _make_method(args.method, dim, _parse_config(args.config))
     cfg = _driver_config(args)
@@ -552,6 +564,10 @@ def main(argv=None):
         "--scans", nargs="+", required=True, help="ordered scan CSVs (or PLYs with --ply)"
     )
     p_odo.add_argument("--ply", action="store_true", help="scans are 3D PLY clouds")
+    p_odo.add_argument(
+        "--exact-capacity", action="store_true",
+        help="pad to the exact max scan size instead of power-of-two buckets",
+    )
     p_odo.add_argument("-m", "--method", default="trimmed")
     p_odo.add_argument("-c", "--config", nargs="*")
     p_odo.add_argument("--optimize", action="store_true", help="pose-graph refine")
