@@ -372,19 +372,23 @@ def run_pose_agreement(metrics, jnp, icp):
 def run_roofline(metrics, jnp, icp):
     """Compiler-derived utilization estimate for the hot 2D iterate.
 
-    XLA's cost analysis of the compiled program (flops / bytes accessed)
-    over the measured wall time gives achieved FLOP/s and arithmetic
-    intensity — the machine-readable roofline placement VERDICT round-1
-    item 5 asked for.  Peak-fraction is reported only when the device kind
-    is in the (conservative, public-number) peak table; otherwise null.
+    XLA's cost analysis of the compiled single-iterate program (flops /
+    bytes accessed) over the measured chained-loop wall time gives achieved
+    FLOP/s and arithmetic intensity — the machine-readable roofline
+    placement VERDICT round-1 item 5 asked for.  The flop count must come
+    from the SINGLE iterate: ``cost_analysis`` counts a ``fori_loop`` body
+    once regardless of trip count (verified empirically — 1/5/20-rep loops
+    all report the same flops), so dividing a chained program's count by
+    the rep count understates work ~reps-fold.  Peak-fraction is reported
+    only when the device kind is in the (approximate, public-number) peak
+    table; otherwise null.
     """
     import jax
 
-    # f32 VPU peak, FLOP/s.  The MXU matmul peak is far higher but the
-    # iterate's dominant op (fused subtract-square-reduce NN) runs on the
-    # VPU, so the VPU roofline is the honest ceiling reference.
+    # f32 VPU peak, FLOP/s (approximate, "VPU-class"): the iterate's
+    # dominant op (fused subtract-square-reduce NN) runs on the VPU, so the
+    # VPU roofline is the honest ceiling reference, not the MXU TFLOPs.
     vpu_peak_by_kind = {
-        # 8 MiB VMEM-class chips, ~4 TFLOP/s-class f32 vector units.
         "TPU v4": 4.1e12,
         "TPU v5e": 3.6e12,
         "TPU v5 lite": 3.6e12,
@@ -402,17 +406,19 @@ def run_roofline(metrics, jnp, icp):
         return jax.lax.fori_loop(0, reps, lambda _, s: method.iterate(s), state)
 
     _progress("roofline: compiling chained trimmed iterate (256, 1024) ...")
-    lowered = jax.jit(run).lower(state0)
-    compiled = lowered.compile()
     try:
-        ca = compiled.cost_analysis()
+        ca = jax.jit(method.iterate).lower(state0).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) / reps
-        byts = float(ca.get("bytes accessed", 0.0)) / reps
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
     except Exception as e:
         _progress(f"roofline: cost_analysis unavailable ({e}); skipped")
         return
+    if flops <= 0.0:
+        _progress("roofline: cost model reports no flops on this backend; skipped")
+        return
+    compiled = run.lower(state0).compile()
     state = compiled(state0)
     float(jnp.sum(state.transform.translation))
     best = np.inf
@@ -432,9 +438,7 @@ def run_roofline(metrics, jnp, icp):
             "unit": (
                 f"GFLOP/s on '{kind}' (XLA cost model: "
                 f"{flops / 1e9:.2f} GFLOP, {byts / 1e6:.1f} MB operand bytes "
-                "per iterate; the model counts fused-reduce arithmetic only "
-                "— compare/select ops of the NN argmin are excluded, so "
-                "GFLOP/s and peak fraction are lower bounds)"
+                f"per (256, 1024, 1024) trimmed iterate)"
             ),
             "vs_baseline": None,
             "ms_per_iterate": round(best * 1e3, 3),

@@ -392,10 +392,7 @@ def cmd_odometry(args):
             from .io import parse_lidar_scan_batch
 
             scans = parse_lidar_scan_batch(args.scans)
-            if not getattr(args, "exact_capacity", False):
-                from .cloud import bucket_capacity
-
-                scans = icp.pad_to(scans, bucket_capacity(scans.capacity))
+            scans = icp.pad_to(scans, _cli_capacity(scans.capacity, args))
         else:
             clouds = [_load_scan(p) for p in args.scans]
             cap = _cli_capacity(max(c.capacity for c in clouds), args)

@@ -60,7 +60,7 @@ def sweep_to_points(sweep: dict) -> np.ndarray:
     return np.stack([r * np.cos(angles), r * np.sin(angles)], axis=-1)
 
 
-def parse_sweep(path: str, capacity: int | None = None, dtype=np.float32) -> PointCloud:
+def parse_sweep(path: str, capacity: int | str | None = None, dtype=np.float32) -> PointCloud:
     """Read a .conf sweep into a padded :class:`PointCloud` (angular order
     preserved — required by ``feature_aware``'s window features)."""
     return from_points(sweep_to_points(parse_sweep_conf(path)), capacity=capacity, dtype=dtype)

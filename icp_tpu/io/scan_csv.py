@@ -44,7 +44,7 @@ def parse_lidar_scan_array(path: str) -> np.ndarray:
 
 
 def parse_lidar_scan(
-    path: str, capacity: int | None = None, dtype=np.float32
+    path: str, capacity: int | str | None = None, dtype=np.float32
 ) -> PointCloud:
     """Parse a scan CSV into a padded :class:`PointCloud`."""
     pts = parse_lidar_scan_array(path)
@@ -52,30 +52,35 @@ def parse_lidar_scan(
 
 
 def parse_lidar_scan_batch(
-    paths, capacity: int | None = None, dtype=np.float32
+    paths, capacity: int | str | None = None, dtype=np.float32
 ) -> PointCloud:
     """Load many scan CSVs into one batched padded cloud ``(T, N, 2)``.
 
-    With an explicit ``capacity``, the native threaded loader
+    With an explicit int ``capacity``, the native threaded loader
     (``native/icptpu_parse_scan_batch``) parses all files in parallel when
     available.  With ``capacity=None`` a Python sizing pass parses each file
     once (arrays reused — no second parse) and the capacity becomes the
-    largest scan rounded up to the sublane multiple.
+    largest scan rounded up to the sublane multiple; ``"bucket"`` rounds it
+    up to the power-of-two bucket instead (:func:`icp_tpu.cloud.bucket_capacity`).
     """
     import jax.numpy as jnp
 
-    from ..cloud import round_up
+    from ..cloud import bucket_capacity, round_up
     from ..utils.native import native_lib
 
     paths = list(paths)
     if not paths:
         raise ValueError("parse_lidar_scan_batch: empty path list")
     arrays = None
-    if capacity is None:
+    if capacity is None or capacity == "bucket":
         # Sizing pass parses everything once; keep the arrays so the
         # fallback below never parses a file twice.
         arrays = [parse_lidar_scan_array(p) for p in paths]
-        capacity = max(round_up(max(len(a) for a in arrays), 8), 8)
+        largest = max(len(a) for a in arrays)
+        if capacity == "bucket":
+            capacity = bucket_capacity(largest)
+        else:
+            capacity = max(round_up(largest, 8), 8)
     else:
         lib = native_lib()
         if lib is not None:

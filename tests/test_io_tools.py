@@ -107,3 +107,21 @@ def test_csv_loader_native_python_parity(tmp_path):
     if lib is not None:
         native = lib.parse_scan_csv(str(path))
         np.testing.assert_allclose(native, py)
+
+
+def test_parse_lidar_scan_batch_bucket_capacity():
+    from icp_tpu.io import parse_lidar_scan_batch
+
+    paths = [
+        "/root/reference/ex_data/scan1/first.csv",
+        "/root/reference/ex_data/scan1/second.csv",
+    ]
+    import os
+
+    if not os.path.isfile(paths[0]):
+        import pytest
+
+        pytest.skip("reference data not present")
+    batch = parse_lidar_scan_batch(paths, capacity="bucket")
+    assert batch.capacity == 1024  # 953 valid points -> power-of-two bucket
+    assert batch.points.shape[0] == 2
