@@ -400,8 +400,18 @@ def cmd_odometry(args):
     method = _make_method(args.method, dim, _parse_config(args.config))
     cfg = _driver_config(args)
 
+    wrap = None
+    if getattr(args, "aot_cache", None) is not None:
+        # AOT-cache the whole batched registration; pair-count bucketing
+        # makes different-length sequences land on the same executable
+        # (worth the padded lanes only when a multi-minute compile is on
+        # the line, so it is tied to the flag).
+        from . import aot
+
+        wrap = lambda f: aot.cached_jit(f, directory=args.aot_cache or None)  # noqa: E731
     traj = odometry.chain_scans(
-        scans, method, cfg, coarse=args.coarse, multiscale=args.multiscale
+        scans, method, cfg, coarse=args.coarse, multiscale=args.multiscale,
+        wrap_converge=wrap, pad_pairs_to_bucket=wrap is not None,
     )
     if args.optimize or args.loop_radius:
         from . import geometry as _geo
@@ -564,6 +574,15 @@ def main(argv=None):
     p_odo.add_argument(
         "--exact-capacity", action="store_true",
         help="pad to the exact max scan size instead of power-of-two buckets",
+    )
+    p_odo.add_argument(
+        "--aot-cache",
+        nargs="?",
+        const="",
+        metavar="DIR",
+        help="disk-cache the compiled batched registration (icp_tpu.aot) "
+        "with pair-count bucketing, so repeat runs and different-length "
+        "sequences skip the compile",
     )
     p_odo.add_argument("-m", "--method", default="trimmed")
     p_odo.add_argument("-c", "--config", nargs="*")

@@ -75,6 +75,8 @@ def chain_scans(
     guesses: RigidTransform | None = None,
     coarse: bool = False,
     multiscale: bool = False,
+    wrap_converge=None,
+    pad_pairs_to_bucket: bool = False,
 ) -> Trajectory:
     """Register every consecutive pair of a ``(T, N, D)`` scan stack and
     compose the trajectory.
@@ -87,11 +89,34 @@ def chain_scans(
     the principal-axes candidates (``coarse_align_3d``).
     ``multiscale=True`` registers each pair through the coarse-to-fine
     pyramid (``icp_tpu.multiscale``, ~3x cheaper per pair at scan scale).
+
+    ``wrap_converge`` decorates the traced ``(sources, targets, guesses) ->
+    (ConvergenceState, state)`` registration callable before invocation —
+    e.g. ``icp_tpu.aot.cached_jit`` for an AOT-cached odometry run.
+    ``pad_pairs_to_bucket=True`` pads the pair-batch axis to the power-of-
+    two bucket (duplicating the last pair; results sliced back) so
+    different-length sequences share one compiled/cached program — worth
+    the padded lanes' extra compute only when a multi-minute compile is on
+    the line, hence off by default.
     """
     t_total = scans.points.shape[0]
     if t_total < 2:
         raise ValueError("need at least two scans")
     dim = scans.dim
+    t_pairs = t_total - 1
+    pad = 0
+    if pad_pairs_to_bucket:
+        from .cloud import bucket_capacity
+
+        pad = bucket_capacity(t_pairs, min_capacity=8) - t_pairs
+
+    def _pad_pairs(x):
+        # Duplicate the final pair into the padded lanes (valid inputs, so
+        # the padded registrations converge normally; sliced off below).
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
+        )
+
     sources = PointCloud(scans.points[:-1], scans.count[:-1])
     targets = PointCloud(scans.points[1:], scans.count[1:])
     if method.precompute is not None and method.with_precomputed is not None and not multiscale:
@@ -104,27 +129,38 @@ def chain_scans(
         # with (gicp/symmetric) or silently misindexed by (point_to_plane)
         # the decimated levels — each level derives its own aux instead.
         aux = jax.jit(method.precompute)(scans)
-        method = method.with_precomputed(
-            jax.tree.map(lambda x: x[:-1], aux), jax.tree.map(lambda x: x[1:], aux)
-        )
+        src_aux = jax.tree.map(lambda x: x[:-1], aux)
+        tgt_aux = jax.tree.map(lambda x: x[1:], aux)
+        if pad:
+            src_aux, tgt_aux = jax.tree.map(_pad_pairs, (src_aux, tgt_aux))
+        method = method.with_precomputed(src_aux, tgt_aux)
     if guesses is None and coarse:
         from .ops.coarse import coarse_align_2d, coarse_align_3d
 
         guesses = (coarse_align_2d if dim == 2 else coarse_align_3d)(sources, targets)
     elif guesses is None:
-        guesses = geometry.identity(dim, (t_total - 1,), dtype=scans.dtype)
+        guesses = geometry.identity(dim, (t_pairs,), dtype=scans.dtype)
     if initial is None:
         initial = geometry.identity(dim, dtype=scans.dtype)
 
-    if multiscale:
-        from .multiscale import converge_multiscale
-
-        result, _ = converge_multiscale(
-            method, sources, targets, guesses, config,
-            factors=(4,), coarse_max_iterations=30,
+    if pad:
+        sources, targets, guesses = jax.tree.map(
+            _pad_pairs, (sources, targets, guesses)
         )
-    else:
-        result, _ = converge(method, sources, targets, guesses, config)
+
+    def _register(s, t, g):
+        if multiscale:
+            from .multiscale import converge_multiscale
+
+            return converge_multiscale(
+                method, s, t, g, config, factors=(4,), coarse_max_iterations=30
+            )
+        return converge(method, s, t, g, config)
+
+    run = wrap_converge(_register) if wrap_converge is not None else _register
+    result, _ = run(sources, targets, guesses)
+    if pad:
+        result = jax.tree.map(lambda x: x[:t_pairs], result)
     poses = compose_chain(result.transform, initial)
     return Trajectory(poses=poses, relative=result.transform, registration=result)
 

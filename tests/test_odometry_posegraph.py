@@ -543,3 +543,31 @@ def test_chain_scans_multiscale_with_precompute_methods(rng, name):
     )
     traj = odometry.chain_scans(scans, method, cfg, multiscale=True)
     assert np.all(np.isfinite(np.asarray(traj.poses.translation)))
+
+
+@pytest.mark.parametrize("name", ["trimmed", "gicp"])
+def test_chain_scans_pad_pairs_to_bucket_matches_unpadded(rng, name):
+    """Pair-count bucketing (pads the batch with duplicate last pairs,
+    slices results back) must not change the trajectory — including for
+    precompute-carrying methods whose per-pair aux pads alongside."""
+    scans_np, _ = make_scan_sequence(rng)
+    scans = icp.stack(
+        [icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np]
+    )
+    method = icp.from_method(
+        name, 2, icp.Config(dim=2, neighbors=8, normal_neighbors=8)
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=15, angle_tolerance=1e-6, translation_tolerance=1e-6
+    )
+    plain = odometry.chain_scans(scans, method, cfg)
+    padded = odometry.chain_scans(scans, method, cfg, pad_pairs_to_bucket=True)
+    np.testing.assert_allclose(
+        np.asarray(padded.poses.translation),
+        np.asarray(plain.poses.translation),
+        atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(padded.registration.iteration_count),
+        np.asarray(plain.registration.iteration_count),
+    )
