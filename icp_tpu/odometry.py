@@ -110,15 +110,24 @@ def chain_scans(
 
         pad = bucket_capacity(t_pairs, min_capacity=8) - t_pairs
 
-    def _pad_pairs(x):
-        # Duplicate the final pair into the padded lanes (valid inputs, so
-        # the padded registrations converge normally; sliced off below).
+    def _pad_tail(x):
+        # Duplicate the final element into the padded lanes (valid inputs,
+        # so the padded registrations converge normally; sliced off below).
         return jnp.concatenate(
             [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
         )
 
+    if pad:
+        # Pad the SCAN STACK itself, so every derived shape (pairs,
+        # precomputed aux, coarse guesses) is bucket-stable — the
+        # precompute executable is then shared across sequence lengths
+        # too, not just the converge.
+        scans = jax.tree.map(_pad_tail, scans)
+        if guesses is not None:
+            guesses = jax.tree.map(_pad_tail, guesses)
     sources = PointCloud(scans.points[:-1], scans.count[:-1])
     targets = PointCloud(scans.points[1:], scans.count[1:])
+    src_aux = tgt_aux = None
     if method.precompute is not None and method.with_precomputed is not None and not multiscale:
         # Scan t is the target of pair t-1 AND the source of pair t: derive
         # per-scan data (surfel covariances, normals) ONCE for the stack
@@ -128,37 +137,40 @@ def chain_scans(
         # DECIMATED clouds, and full-resolution aux is shape-incompatible
         # with (gicp/symmetric) or silently misindexed by (point_to_plane)
         # the decimated levels — each level derives its own aux instead.
-        aux = jax.jit(method.precompute)(scans)
+        precompute = (
+            wrap_converge(method.precompute)
+            if wrap_converge is not None
+            else jax.jit(method.precompute)
+        )
+        aux = precompute(scans)
         src_aux = jax.tree.map(lambda x: x[:-1], aux)
         tgt_aux = jax.tree.map(lambda x: x[1:], aux)
-        if pad:
-            src_aux, tgt_aux = jax.tree.map(_pad_pairs, (src_aux, tgt_aux))
-        method = method.with_precomputed(src_aux, tgt_aux)
     if guesses is None and coarse:
         from .ops.coarse import coarse_align_2d, coarse_align_3d
 
         guesses = (coarse_align_2d if dim == 2 else coarse_align_3d)(sources, targets)
     elif guesses is None:
-        guesses = geometry.identity(dim, (t_pairs,), dtype=scans.dtype)
+        guesses = geometry.identity(dim, (t_pairs + pad,), dtype=scans.dtype)
     if initial is None:
         initial = geometry.identity(dim, dtype=scans.dtype)
 
-    if pad:
-        sources, targets, guesses = jax.tree.map(
-            _pad_pairs, (sources, targets, guesses)
-        )
-
-    def _register(s, t, g):
+    def _register(s, t, g, sa, ta):
+        # Aux enters as traced OPERANDS, not closure constants: a
+        # wrap_converge AOT cache then fingerprints the program, not the
+        # data, and one cached executable serves every same-shape sequence
+        # (closure constants would bake each dataset's covariances into
+        # the StableHLO and miss the cache every run).
+        m = method if sa is None else method.with_precomputed(sa, ta)
         if multiscale:
             from .multiscale import converge_multiscale
 
             return converge_multiscale(
-                method, s, t, g, config, factors=(4,), coarse_max_iterations=30
+                m, s, t, g, config, factors=(4,), coarse_max_iterations=30
             )
-        return converge(method, s, t, g, config)
+        return converge(m, s, t, g, config)
 
     run = wrap_converge(_register) if wrap_converge is not None else _register
-    result, _ = run(sources, targets, guesses)
+    result, _ = run(sources, targets, guesses, src_aux, tgt_aux)
     if pad:
         result = jax.tree.map(lambda x: x[:t_pairs], result)
     poses = compose_chain(result.transform, initial)

@@ -1,5 +1,6 @@
 """Odometry chaining + pose-graph optimization tests (net-new subsystems)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -571,3 +572,45 @@ def test_chain_scans_pad_pairs_to_bucket_matches_unpadded(rng, name):
         np.asarray(padded.registration.iteration_count),
         np.asarray(plain.registration.iteration_count),
     )
+
+
+def test_chain_scans_aot_wrap_shares_executable_across_lengths(rng, tmp_path):
+    """wrap_converge=aot.cached_jit + pair bucketing: a 5-pair and a 7-pair
+    gicp sequence (same 8 bucket) produce ONE cached converge executable —
+    i.e. the precomputed covariances enter as operands, not baked StableHLO
+    constants — and the wrapped trajectory equals the plain one."""
+    from icp_tpu import aot
+
+    scans6_np, _ = make_scan_sequence(rng, t_steps=6)
+    scans8_np, _ = make_scan_sequence(rng, t_steps=8)
+    method = icp.from_method(
+        "gicp", 2, icp.Config(dim=2, neighbors=8, normal_neighbors=8)
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=10, angle_tolerance=1e-6, translation_tolerance=1e-6
+    )
+    wrap = lambda f: aot.cached_jit(f, directory=str(tmp_path))  # noqa: E731
+
+    def stack(scans_np):
+        return icp.stack(
+            [icp.from_points(s, capacity=64, dtype=np.float32) for s in scans_np]
+        )
+
+    plain = odometry.chain_scans(stack(scans6_np), method, cfg)
+    wrapped = odometry.chain_scans(
+        stack(scans6_np), method, cfg,
+        wrap_converge=wrap, pad_pairs_to_bucket=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(wrapped.poses.translation),
+        np.asarray(plain.poses.translation),
+        atol=1e-6,
+    )
+    entries_after_first = set(os.listdir(tmp_path))
+    odometry.chain_scans(
+        stack(scans8_np), method, cfg,
+        wrap_converge=wrap, pad_pairs_to_bucket=True,
+    )
+    # 7 pairs lands in the same 8 bucket: every program (precompute AND
+    # converge) must be a cache hit — no new entries.
+    assert set(os.listdir(tmp_path)) == entries_after_first
