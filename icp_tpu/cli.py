@@ -443,10 +443,44 @@ def cmd_odometry(args):
             loop_measurements=loop_meas,
             loop_weight=args.loop_weight,
         )
-        graph, costs = pose_graph.optimize(graph, iterations=args.gn_iterations)
+        # Robust kernels act on loop-closure edges only (see
+        # pose_graph.optimize: a redescending kernel on odometry edges can
+        # disconnect the chain).
+        robust_mask = None
+        robust_scale = args.robust_scale
+        gn_iterations = args.gn_iterations
+        if gn_iterations is None:
+            gn_iterations = 10 if args.robust_kernel == "none" else 30
+        if args.robust_kernel != "none" and loop_edges is not None:
+            import jax.numpy as jnp
+
+            n_loop = len(np.asarray(loop_edges))
+            robust_mask = jnp.arange(graph.num_edges) >= graph.num_edges - n_loop
+            if isinstance(robust_scale, str):  # 'auto'
+                robust_scale = pose_graph.auto_robust_scale(
+                    graph, iterations=gn_iterations, robust_edges=robust_mask
+                )
+                print(f"robust scale (auto): {float(robust_scale):.4g}",
+                      file=sys.stderr)
+        graph, costs = pose_graph.optimize(
+            graph, iterations=gn_iterations,
+            robust=args.robust_kernel, robust_scale=robust_scale,
+            robust_edges=robust_mask,
+        )
         poses = graph.poses
         print(f"pose-graph cost: {float(costs[0]):.6g} -> {float(costs[-1]):.6g}",
               file=sys.stderr)
+        if args.robust_kernel != "none" and loop_edges is not None:
+            w, _ = pose_graph.robust_edge_weights(
+                graph, args.robust_kernel, robust_scale,
+                robust_edges=robust_mask,
+            )
+            loop_w = np.asarray(w)[-len(np.asarray(loop_edges)):]
+            print(
+                "loop-closure robust weights: "
+                f"{np.round(loop_w, 4).tolist()}",
+                file=sys.stderr,
+            )
     else:
         poses = traj.poses
 
@@ -587,7 +621,11 @@ def main(argv=None):
     p_odo.add_argument("-m", "--method", default="trimmed")
     p_odo.add_argument("-c", "--config", nargs="*")
     p_odo.add_argument("--optimize", action="store_true", help="pose-graph refine")
-    p_odo.add_argument("--gn-iterations", type=int, default=10)
+    p_odo.add_argument(
+        "--gn-iterations", type=int, default=None,
+        help="Gauss-Newton iterations for --optimize (default 10; 30 when "
+        "--robust-kernel is set — the GNC anneal needs the budget)",
+    )
     p_odo.add_argument(
         "--loop-radius", type=float, default=0.0,
         help="detect + register loop closures within this pose radius",
@@ -603,6 +641,20 @@ def main(argv=None):
         "--loop-coarse", action="store_true",
         help="seed closure registrations with the global initializer "
         "(use when accumulated drift is large)",
+    )
+    p_odo.add_argument(
+        "--robust-kernel", default="none",
+        choices=["none", "huber", "cauchy", "welsch", "gnc_gm"],
+        help="robust loss on pose-graph edges: down-weights wrong loop "
+        "closures (plausible ICP cost, wrong basin) by their graph "
+        "inconsistency; gnc_gm = graduated non-convexity (recommended)",
+    )
+    p_odo.add_argument(
+        "--robust-scale", default="auto",
+        type=lambda s: s if s == "auto" else float(s),
+        help="inlier threshold for --robust-kernel in plain residual units "
+        "(meters+radians); 'auto' (default) derives it from an L2 pre-solve "
+        "(2x the max closure residual)",
     )
     p_odo.add_argument(
         "--scan-to-map", action="store_true",

@@ -139,6 +139,161 @@ def _edge_linearization(
     return r, jac[..., :d], jac[..., d:]
 
 
+ROBUST_KERNELS = ("none", "huber", "cauchy", "welsch", "gnc_gm")
+
+
+def _robust_weights(rn2: Array, kernel: str, scale: float, mu: Array) -> Array:
+    """IRLS weight per edge from the squared GEOMETRIC residual norm.
+
+    ``rn2`` is ``||log(Z^-1 X_i^-1 X_j)||^2`` BEFORE information weighting,
+    so ``scale`` is in plain residual units (meters + radians mix), not
+    chi².  This deliberately decouples the inlier threshold from the edge's
+    information weight: evaluated on whitened residuals instead, a
+    ``loop_weight=10`` closure would see its threshold shrink by sqrt(10) —
+    measured on the circle-trajectory scenario, that made GNC reject the
+    drift-carrying *correct* closure (its whitened residual was 4x the
+    short-loop closures').  ``mu`` is the GNC control parameter (ignored by
+    the fixed-scale kernels).  All branches are branch-free ``jnp`` so the
+    weights trace under jit/vmap/scan.
+    """
+    c2 = scale * scale
+    if kernel == "none":
+        return jnp.ones_like(rn2)
+    if kernel == "huber":
+        rn = jnp.sqrt(rn2 + jnp.finfo(rn2.dtype).tiny)
+        return jnp.minimum(1.0, scale / rn)
+    if kernel == "cauchy":
+        return 1.0 / (1.0 + rn2 / c2)
+    if kernel == "welsch":
+        return jnp.exp(-rn2 / c2)
+    if kernel == "gnc_gm":
+        # Geman-McClure surrogate at control mu: mu -> inf is quadratic,
+        # mu = 1 is the true GM kernel.  w = (mu c^2 / (r^2 + mu c^2))^2.
+        return jnp.square(mu * c2 / (rn2 + mu * c2))
+    raise ValueError(f"unknown robust kernel {kernel!r}; one of {ROBUST_KERNELS}")
+
+
+def _robust_rho(rn2: Array, kernel: str, scale: float, mu: Array) -> Array:
+    """Robust cost per edge (the quantity the IRLS weights descend)."""
+    c2 = scale * scale
+    if kernel == "none":
+        return rn2
+    if kernel == "huber":
+        rn = jnp.sqrt(rn2 + jnp.finfo(rn2.dtype).tiny)
+        return jnp.where(rn <= scale, rn2, 2.0 * scale * rn - c2)
+    if kernel == "cauchy":
+        return c2 * jnp.log1p(rn2 / c2)
+    if kernel == "welsch":
+        return c2 * (1.0 - jnp.exp(-rn2 / c2))
+    if kernel == "gnc_gm":
+        return mu * c2 * rn2 / (rn2 + mu * c2)
+    raise ValueError(f"unknown robust kernel {kernel!r}; one of {ROBUST_KERNELS}")
+
+
+def robust_edge_weights(
+    graph: PoseGraph,
+    robust: str,
+    robust_scale: float,
+    mu: float = 1.0,
+    robust_edges: Array | None = None,
+) -> tuple[Array, Array]:
+    """Final IRLS weights ``(E,)`` and geometric residual norms ``(E,)`` at
+    ``graph.poses``.
+
+    Call this after :func:`optimize` (same ``robust_edges`` mask) to
+    classify edges: a converged GNC/Welsch solve drives outlier closures'
+    weights to ~0 while inliers sit near 1 — the diagnostic ``run_slam``
+    reports for rejected closures.  The returned norms are UNwhitened
+    (``||log(Z^-1 X_i^-1 X_j)||``, meters + radians), matching the units of
+    ``robust_scale``.
+    """
+    rn2 = _geometric_rn2(graph, graph.poses)
+    mu_a = jnp.asarray(mu, dtype=rn2.dtype)
+    w = _robust_weights(rn2, robust, robust_scale, mu_a)
+    if robust_edges is not None:
+        w = jnp.where(robust_edges, w, jnp.ones_like(w))
+    return w, jnp.sqrt(rn2)
+
+
+def auto_robust_scale(
+    graph: PoseGraph,
+    iterations: int = 10,
+    damping: float = 1e-6,
+    solver: str = "auto",
+    cg_iterations: int = 50,
+    robust_edges: Array | None = None,
+) -> Array:
+    """Data-driven robust inlier scale: ``2 · max robust-edge residual`` at
+    the L2 solution.
+
+    A correct closure retains a residual at the L2 optimum set by the
+    odometry chain's stiffness (it cannot be pulled all the way in), so the
+    inlier threshold must sit above that retained level; a wrong closure's
+    inconsistency re-emerges during the GNC anneal even when the L2
+    compromise has hidden it (see :func:`optimize`).  The scale is floored
+    by the MEDIAN residual of the non-robust (odometry) edges — the graph's
+    ambient noise level: when the L2 solve satisfies the closures almost
+    exactly (retained ~ 0), ``2 · max`` alone would land below the
+    perturbation a single GN step introduces, and the GM weight of even a
+    perfect closure cascades to 0 (measured on the clean square scenario:
+    retained 4e-4 m vs odometry noise 7e-3 m).  Measured on the round-3
+    design scenarios this rule lands in each one's (disjoint!) working
+    window.  Costs one extra L2 solve at the same budget.  Returns a traced
+    scalar — safe to feed straight into :func:`optimize` /
+    :func:`robust_edge_weights` under jit.
+
+    The rule deliberately sits on the REJECTING side of the trade: when the
+    trajectory carries large real drift, even a correct long-loop closure
+    retains a residual above 2x the max (the kernel then flags it), because
+    accepting a WRONG closure corrupts the whole map while rejecting a
+    correct one only costs local drift — and the rejection is visible in
+    the :func:`robust_edge_weights` diagnostic, never silent.  Deployments
+    whose odometry drift per loop is large relative to closure accuracy
+    should pass an explicit scale above the expected retained-drift level
+    (measured example: the 25-step circle scenario retains 0.2 m on its
+    true revisit closure; scale 0.8 keeps it, auto ~0.4 flags it).
+    """
+    base, _ = optimize(
+        graph,
+        iterations=iterations,
+        damping=damping,
+        solver=solver,
+        cg_iterations=cg_iterations,
+    )
+    rn2_base = _geometric_rn2(base, base.poses)
+    rn = jnp.sqrt(rn2_base)
+    if robust_edges is not None:
+        closure_max = jnp.max(jnp.where(robust_edges, rn, 0.0))
+        # Median over the non-robust edges only (mask padding/zero-weight
+        # edges out by excluding weight-0 entries from the median).
+        keep = (~robust_edges) & (graph.weights > 0)
+        big = jnp.asarray(jnp.inf, rn.dtype)
+        vals = jnp.sort(jnp.where(keep, rn, big))
+        count = jnp.sum(keep)
+        noise = jnp.where(
+            count > 0, vals[jnp.maximum(count // 2, 0)], jnp.zeros_like(big)
+        )
+    else:
+        closure_max = jnp.max(rn)
+        vals = jnp.sort(jnp.where(graph.weights > 0, rn, jnp.inf))
+        count = jnp.sum(graph.weights > 0)
+        noise = jnp.where(count > 0, vals[jnp.maximum(count // 2, 0)], 0.0)
+    return jnp.maximum(jnp.maximum(2.0 * closure_max, noise), 1e-3)
+
+
+def _geometric_rn2(graph: PoseGraph, poses: RigidTransform) -> Array:
+    """Squared UNwhitened residual norms ``(E,)`` (zero-weight-safe)."""
+    r = edge_residuals(graph, poses)
+    rn2_w = jnp.sum(r * r, axis=-1)
+    return _unwhiten(rn2_w, graph.weights)
+
+
+def _unwhiten(rn2_whitened: Array, weights: Array) -> Array:
+    """chi² -> squared geometric norm; zero-weight (padding) edges -> 0."""
+    safe = jnp.where(weights > 0, weights, 1.0)
+    return jnp.where(weights > 0, rn2_whitened / safe, 0.0)
+
+
 def _pcg_delta(
     r: Array,
     a_blk: Array,
@@ -220,8 +375,11 @@ def optimize(
     damping: float = 1e-6,
     solver: str = "auto",
     cg_iterations: int = 50,
+    robust: str = "none",
+    robust_scale: float | str | Array = "auto",
+    robust_edges: Array | None = None,
 ) -> tuple[PoseGraph, Array]:
-    """Run Gauss-Newton; returns (optimized graph, per-iteration cost).
+    """Run Gauss-Newton / IRLS; returns (optimized graph, per-iteration cost).
 
     ``solver='dense'`` builds J explicitly (fine to a few hundred DOF);
     ``'cg'`` is matrix-free conjugate gradient on the normal equations;
@@ -229,14 +387,123 @@ def optimize(
     Jacobian blocks — O(E·dof²) per matvec, the scalable path (10k nodes /
     30k edges optimize on one device; edge arrays shard over the mesh).
     ``'auto'`` (default) picks dense below 512 variables, else pcg.
+
+    ``robust`` selects a per-edge robust kernel applied by iteratively
+    reweighted least squares: each GN iteration computes IRLS weights from
+    the current GEOMETRIC residual norms (see :func:`_robust_weights` for
+    why not chi²) and scales that iteration's residuals and Jacobians by
+    ``sqrt(w_e)``, so outlier edges (wrong loop closures — plausible ICP
+    cost, wrong basin) are down-weighted instead of trusted.
+    ``'huber'``/``'cauchy'``/``'welsch'`` are fixed-scale kernels;
+    ``'gnc_gm'`` is graduated non-convexity on the Geman-McClure kernel
+    (Yang et al. 2020) under the three-phase schedule below; give it
+    ``iterations >= 30`` — measured: rejection of the bad edge completes by
+    ~20, but the trajectory needs the post-rejection tail to relax back to
+    the oracle solution (exact oracle match at 30 on every seed).  Prefer
+    ``'gnc_gm'`` or the redescending fixed-scale kernels (``'welsch'``,
+    ``'cauchy'``) for wrong-closure rejection; ``'huber'`` only *bounds*
+    outlier influence — measured on the injected-bad-closure scenario its
+    IRLS fixed point is the L2 compromise (the graph bends until every
+    closure is inside the threshold), so it does not reject structured
+    outliers.
+
+    ``robust_scale`` is the inlier threshold in plain residual units
+    (meters + radians; NOT chi² — independent of the edge's information
+    weight).  Selection rule: it must sit ABOVE the residual a CORRECT
+    closure retains after an L2 solve (set by the odometry chain's
+    stiffness — measured 0.03 m on the square scenario, 0.19 m on the
+    25-step circle) and BELOW the bending regime where the compromise hides
+    the outlier.  The default ``'auto'`` computes exactly that: one L2
+    solve, then ``scale = 2 · max closure residual`` at its solution —
+    validated on both scenarios above (each needs a different scale; a
+    fixed default fails one or the other).  Auto costs a second solve
+    (same iteration budget); pass a float to skip it.  Sanity-check any
+    choice by inspecting :func:`robust_edge_weights` norms on a
+    ``robust='none'`` solve.
+
+    ``robust_edges`` (bool ``(E,)``, default all-True) restricts the kernel
+    to a subset of edges; the rest stay exactly quadratic.  Pass a mask that
+    selects ONLY the loop-closure edges (``graph_from_trajectory`` orders
+    odometry edges first, closures last): odometry edges come from
+    sequential scan matching and cannot be wrong *data associations*, and —
+    measured in the round-3 design experiments — letting a redescending
+    kernel (GM/Welsch at tight scale) touch them lets the solver DISCONNECT
+    the chain, after which the outlier closure is satisfied exactly instead
+    of rejected.
+
+    The cost trace reports ``sum_e w_e · rho(||r_e||)`` under the active
+    kernel (for ``'none'`` that is the classic chi² ``sum w_e ||r_e||^2``);
+    for GNC the trace is not comparable across iterations while mu anneals.
+
+    Everything stays jit/vmap/scan-compatible: the mu schedule is a traced
+    ``(iterations,)`` array fed through ``lax.scan``, and the IRLS weights
+    are stop-gradiented constants within each linearization (standard IRLS).
     """
+    if robust not in ROBUST_KERNELS:
+        raise ValueError(f"unknown robust kernel {robust!r}; one of {ROBUST_KERNELS}")
+    if isinstance(robust_scale, str):
+        if robust_scale != "auto":
+            raise ValueError(f"robust_scale must be a float or 'auto', got {robust_scale!r}")
+        if robust != "none":
+            robust_scale = auto_robust_scale(
+                graph,
+                iterations=iterations,
+                damping=damping,
+                solver=solver,
+                cg_iterations=cg_iterations,
+                robust_edges=robust_edges,
+            )
+        else:
+            robust_scale = 1.0
     dim = graph.dim
     d = lie.dof(dim)
     n_var = graph.num_nodes * d
     if solver == "auto":
         solver = "dense" if n_var <= 512 else "pcg"
 
-    def gn_step(poses, _):
+    dtype = graph.poses.dtype
+
+    def weights_of(rn2, mu):
+        w = _robust_weights(rn2, robust, robust_scale, mu)
+        if robust_edges is not None:
+            w = jnp.where(robust_edges, w, jnp.ones_like(w))
+        return w
+
+    def rho_of(rn2, mu):
+        rho = _robust_rho(rn2, robust, robust_scale, mu)
+        if robust_edges is not None:
+            rho = jnp.where(robust_edges, rho, rn2)
+        return rho
+
+    if robust == "gnc_gm":
+        # Three-phase mu schedule, adapted from Yang et al. (whose fixed
+        # 1.4x anneal with one GN step per mu both runs out of budget at
+        # mu_0 ~ 1e3 AND starts with biased weights before the quadratic
+        # phase has converged — measured: the bias rejected a correct
+        # drift-carrying closure):
+        #   1. quadratic head (~1/4): mu so large every weight is ~1 — plain
+        #      GN to (near) convergence, letting big-but-correct closures
+        #      pull the trajectory into their basin first;
+        #   2. geometric anneal from mu_0 = 2·max r²/c² (eq. 13) down to 1;
+        #   3. refinement tail (~1/4) at the true GM kernel (mu = 1).
+        # The max runs over the robust edges only — quadratic edges do not
+        # stretch the schedule.
+        rn2_init = _geometric_rn2(graph, graph.poses)
+        if robust_edges is not None:
+            rn2_init = jnp.where(robust_edges, rn2_init, 0.0)
+        c2 = robust_scale * robust_scale
+        mu0 = jnp.maximum(1.0, 2.0 * jnp.max(rn2_init) / c2)
+        head = max(1, iterations // 4)
+        tail = max(1, iterations // 4)
+        anneal = max(1, iterations - head - tail)
+        k = jnp.arange(iterations, dtype=dtype)
+        frac = jnp.clip((k - (head - 1)) / float(anneal), 0.0, 1.0)
+        mu_quad = jnp.asarray(1e12, dtype=dtype)
+        mus = jnp.where(k < head, mu_quad, mu0 ** (1.0 - frac))
+    else:
+        mus = jnp.ones((iterations,), dtype=dtype)
+
+    def gn_step(poses, mu):
         g = dataclasses.replace(graph, poses=poses)
 
         def res(delta_flat):
@@ -244,7 +511,12 @@ def optimize(
 
         if solver == "pcg":
             r_e, a_blk, b_blk = _edge_linearization(g, poses)
-            cost = jnp.sum(r_e * r_e)
+            rn2 = _unwhiten(jnp.sum(r_e * r_e, axis=-1), graph.weights)
+            cost = jnp.sum(graph.weights * rho_of(rn2, mu))
+            sw = jax.lax.stop_gradient(jnp.sqrt(weights_of(rn2, mu)))
+            r_e = r_e * sw[:, None]
+            a_blk = a_blk * sw[:, None, None]
+            b_blk = b_blk * sw[:, None, None]
             delta = _pcg_delta(
                 r_e,
                 a_blk,
@@ -258,21 +530,31 @@ def optimize(
         elif solver in ("dense", "cg"):
             zero = jnp.zeros((n_var,), dtype=poses.dtype)
             r0 = res(zero)
-            cost = jnp.sum(r0 * r0)
+            rn2 = _unwhiten(
+                jnp.sum(r0.reshape(graph.num_edges, d) ** 2, axis=-1),
+                graph.weights,
+            )
+            cost = jnp.sum(graph.weights * rho_of(rn2, mu))
+            sw = jax.lax.stop_gradient(jnp.sqrt(weights_of(rn2, mu)))
+
+            def wres(delta_flat):
+                return (res(delta_flat).reshape(graph.num_edges, d) * sw[:, None]).reshape(-1)
+
+            wr0 = (r0.reshape(graph.num_edges, d) * sw[:, None]).reshape(-1)
             if solver == "dense":
-                jac = jax.jacfwd(res)(zero)  # (E*dof, n_var)
+                jac = jax.jacfwd(wres)(zero)  # (E*dof, n_var)
                 jtj = jnp.matmul(jac.T, jac, precision=geometry.HIGHEST)
-                jtr = jnp.matmul(jac.T, r0, precision=geometry.HIGHEST)
+                jtr = jnp.matmul(jac.T, wr0, precision=geometry.HIGHEST)
                 jtj = jtj + damping * jnp.eye(n_var, dtype=poses.dtype)
                 delta = -jnp.linalg.solve(jtj, jtr)
             else:
-                _, vjp = jax.vjp(res, zero)
+                _, vjp = jax.vjp(wres, zero)
 
                 def jtjv(v):
-                    jv = jax.jvp(res, (zero,), (v,))[1]
+                    jv = jax.jvp(wres, (zero,), (v,))[1]
                     return vjp(jv)[0] + damping * v
 
-                jtr = vjp(r0)[0]
+                jtr = vjp(wr0)[0]
                 delta, _ = jax.scipy.sparse.linalg.cg(
                     jtjv, -jtr, maxiter=cg_iterations
                 )
@@ -281,13 +563,33 @@ def optimize(
 
         delta = delta.reshape(graph.num_nodes, d).at[0].set(0.0)
         new_poses = _retract(poses, delta, dim)
+        if robust != "none":
+            # Monotone-descent guard (majorization-minimization): the IRLS
+            # weights majorize the robust cost, so any step that INCREASES
+            # the true robust cost (at the same mu) is an artifact of the
+            # linearization — reject it.  Without this, a partially
+            # down-weighted correct closure can cascade to rejection (each
+            # step grows its residual, which cuts its weight further):
+            # measured on the circle scenario, the cascade climbed from
+            # robust cost 0.37 to a 3.2 local minimum that cut the one true
+            # revisit closure.  Monotone descent provably cannot reach it.
+            # (L2 keeps the unguarded classic GN behavior bit-for-bit.)
+            rn2_new = _geometric_rn2(graph, new_poses)
+            new_cost = jnp.sum(graph.weights * rho_of(rn2_new, mu))
+            accept = new_cost <= cost
+            new_poses = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), new_poses, poses
+            )
         return new_poses, cost
 
-    poses, costs = jax.lax.scan(gn_step, graph.poses, None, length=iterations)
+    poses, costs = jax.lax.scan(gn_step, graph.poses, mus)
     # costs[k] is evaluated BEFORE step k; append the post-final-step cost so
     # costs has length iterations+1 and costs[-1] reflects the returned poses.
-    final = edge_residuals(dataclasses.replace(graph, poses=poses), poses)
-    costs = jnp.concatenate([costs, jnp.sum(final * final)[None]])
+    rn2_final = _geometric_rn2(dataclasses.replace(graph, poses=poses), poses)
+    mu_final = mus[-1] if iterations > 0 else jnp.asarray(1.0, dtype=dtype)
+    costs = jnp.concatenate(
+        [costs, jnp.sum(graph.weights * rho_of(rn2_final, mu_final))[None]]
+    )
     return dataclasses.replace(graph, poses=poses), costs
 
 
@@ -333,23 +635,38 @@ def find_loop_candidates(
     The search itself is the device-side static-shape top-K
     (:func:`find_loop_candidates_topk`); only the final compaction of the
     validity mask happens on host (the result feeds host-side graph
-    construction anyway).  When ``max_candidates`` is None the top-K budget
-    starts at 1024 and doubles until it provably covers every valid pair.
+    construction anyway).  When ``max_candidates`` is None the exact valid-
+    pair count comes from one cheap jitted mask reduction first, and the
+    top-K budget is that count rounded up to a power of two — ONE top-k
+    compile per budget bucket instead of a doubling chain of O(T²)
+    recompiles over the minutes-per-compile TPU tunnel (ADVICE round 2).
     """
     import numpy as np
 
     n = poses.translation.shape[0]
     total = n * n
-    budget = max_candidates if max_candidates is not None else min(1024, total)
-    while True:
-        pairs, valid = find_loop_candidates_topk(
-            poses, radius, min_separation=min_separation, k=budget
-        )
-        nvalid = int(np.sum(np.asarray(valid)))
-        if max_candidates is not None or nvalid < budget or budget >= total:
-            break
-        budget = min(budget * 2, total)
+    if max_candidates is not None:
+        budget = max_candidates
+    else:
+        nvalid = int(_count_loop_candidates(poses, radius, min_separation))
+        budget = min(max(1, 1 << (max(1, nvalid) - 1).bit_length()), total)
+    pairs, valid = find_loop_candidates_topk(
+        poses, radius, min_separation=min_separation, k=budget
+    )
     return jnp.asarray(np.asarray(pairs)[np.asarray(valid)], dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("min_separation",))
+def _count_loop_candidates(
+    poses: RigidTransform, radius: float, min_separation: int
+) -> Array:
+    """Exact count of valid loop-candidate pairs — one O(T²) reduction."""
+    t = poses.translation
+    n = t.shape[0]
+    d = jnp.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    idx = jnp.arange(n)
+    sep = idx[None, :] - idx[:, None]
+    return jnp.sum((d < radius) & (sep >= min_separation))
 
 
 def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:

@@ -25,6 +25,7 @@ class SlamResult:
     trajectory: odometry.Trajectory  # raw odometry (pre-optimization)
     loop_edges: jnp.ndarray  # (K, 2) accepted closures
     graph_costs: jnp.ndarray  # per-GN-iteration costs (+ final)
+    edge_weights: jnp.ndarray | None = None  # (E,) final IRLS weights (robust only)
 
 
 def run_slam(
@@ -40,15 +41,29 @@ def run_slam(
     loop_max_cost: float | None = None,
     loop_coarse: bool = False,
     loop_weight: float = 10.0,
-    gn_iterations: int = 10,
+    gn_iterations: int | None = None,
     gn_solver: str = "dense",
+    robust: str = "none",
+    robust_scale: float | str = "auto",
 ) -> SlamResult:
     """Odometry + (optional) loop closure + pose-graph refinement.
 
     ``scans`` is the batched ``(T, N, D)`` scan stack.  With
     ``loop_radius=None`` only the odometry chain runs (poses ==
     trajectory.poses).  Returns optimized poses in the scan-0 frame.
+
+    ``robust`` / ``robust_scale`` select a per-edge robust kernel for the
+    graph solve (see :func:`icp_tpu.pose_graph.optimize`): ``max_cost`` only
+    rejects closures whose ICP *cost* is high, but a closure can converge to
+    a plausible cost in the wrong basin — the robust kernel (``'gnc_gm'``
+    recommended) down-weights such edges by their graph inconsistency
+    instead of trusting them.  The final per-edge weights are reported in
+    ``SlamResult.edge_weights``.  ``gn_iterations`` defaults to 10 for the
+    plain solve and 30 for robust kernels (the GNC anneal + post-rejection
+    relaxation need the budget; see optimize's docstring).
     """
+    if gn_iterations is None:
+        gn_iterations = 10 if robust == "none" else 30
     traj = odometry.chain_scans(
         scans, method, config, coarse=coarse, multiscale=multiscale
     )
@@ -83,12 +98,32 @@ def run_slam(
         loop_measurements=loop_meas,
         loop_weight=loop_weight,
     )
+    # Robustify ONLY the loop-closure edges (the last K): odometry edges are
+    # sequential scan matches — they can be noisy but not wrong associations
+    # — and letting a redescending kernel cut them can disconnect the chain
+    # (pose_graph.optimize docstring).
+    robust_mask = None
+    if robust != "none":
+        n_odo = graph.num_edges - loop_edges.shape[0]
+        robust_mask = jnp.arange(graph.num_edges) >= n_odo
+        if isinstance(robust_scale, str):  # 'auto': resolve once, reuse below
+            robust_scale = pose_graph.auto_robust_scale(
+                graph, iterations=gn_iterations, solver=gn_solver,
+                robust_edges=robust_mask,
+            )
     graph, costs = pose_graph.optimize(
-        graph, iterations=gn_iterations, solver=gn_solver
+        graph, iterations=gn_iterations, solver=gn_solver,
+        robust=robust, robust_scale=robust_scale, robust_edges=robust_mask,
     )
+    weights = None
+    if robust != "none":
+        weights, _ = pose_graph.robust_edge_weights(
+            graph, robust, robust_scale, robust_edges=robust_mask
+        )
     return SlamResult(
         poses=graph.poses,
         trajectory=traj,
         loop_edges=loop_edges,
         graph_costs=costs,
+        edge_weights=weights,
     )
