@@ -22,6 +22,26 @@ Array = jax.Array
 _EPS = 1e-8
 
 
+def _small_cut(dtype) -> float:
+    """Dtype-aware small-angle cutoff for the Taylor branches.
+
+    ``eps**0.25`` (the Sophus rule): below this, ``(1 - cos t)/t**2``-style
+    expressions lose more than half their bits to cancellation, and in
+    float32 the naive branch NaNs under ``jacfwd`` (measured: the SE(3)
+    pose-graph solve on float32 odometry edges — theta ~ 1e-4, exactly the
+    1e-4 fixed cutoff's blind spot — produced NaN Jacobians while every
+    float64 test stayed green).  float32 -> ~1.9e-2, float64 -> ~1.2e-4.
+    """
+    return float(jnp.finfo(dtype).eps) ** 0.25
+
+
+def _general_cut(dtype) -> float:
+    """Threshold on |sin(theta)| below which log falls back to the
+    Taylor/near-pi branches (keeps evaluated-but-unselected denominators
+    well away from the cancellation zone in both precisions)."""
+    return max(1e-6, float(jnp.finfo(dtype).eps) ** 0.5)
+
+
 def _safe_norm(v: Array) -> Array:
     """Tiny-regularized Euclidean norm: finite gradient at v = 0 (the exact
     value shifts by ~1e-154 in fp64, far below any tolerance here)."""
@@ -30,14 +50,14 @@ def _safe_norm(v: Array) -> Array:
 
 def _sinc(theta: Array) -> Array:
     """sin(theta)/theta with the theta->0 limit."""
-    small = jnp.abs(theta) < 1e-4
+    small = jnp.abs(theta) < _small_cut(theta.dtype)
     safe = jnp.where(small, 1.0, theta)
     return jnp.where(small, 1.0 - theta * theta / 6.0, jnp.sin(safe) / safe)
 
 
 def _cosc(theta: Array) -> Array:
     """(1 - cos(theta))/theta with the theta->0 limit."""
-    small = jnp.abs(theta) < 1e-4
+    small = jnp.abs(theta) < _small_cut(theta.dtype)
     safe = jnp.where(small, 1.0, theta)
     return jnp.where(small, theta / 2.0, (1.0 - jnp.cos(safe)) / safe)
 
@@ -98,7 +118,7 @@ def so3_exp(omega: Array) -> Array:
     k = _hat3(omega)
     k2 = jnp.matmul(k, k, precision=HIGHEST)
     a = _sinc(theta)
-    small = jnp.abs(theta) < 1e-4
+    small = jnp.abs(theta) < _small_cut(omega.dtype)
     safe = jnp.where(small, 1.0, theta)
     b = jnp.where(
         small, 0.5 - theta * theta / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe)
@@ -135,7 +155,7 @@ def so3_log(rot: Array) -> Array:
 
     # General case: omega = theta / sin(theta) * skew (also exact as
     # theta -> 0 where the factor -> 1).
-    general = sin_theta > 1e-6
+    general = sin_theta > _general_cut(dtype)
     safe_sin = jnp.where(general, sin_theta, 1.0)
     factor = jnp.where(general, theta / safe_sin, 1.0)
     omega_general = skew * factor[..., None]
@@ -143,7 +163,7 @@ def so3_log(rot: Array) -> Array:
     # theta ~ pi (sin small, cos < 0): |axis_i| from the diagonal, signs
     # from the skew part.
     diag = jnp.stack([rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], axis=-1)
-    denom = jnp.maximum(1.0 - cos_theta[..., None], 1e-6)
+    denom = jnp.maximum(1.0 - cos_theta[..., None], _general_cut(dtype))
     axis_abs = jnp.sqrt(jnp.clip((diag - cos_theta[..., None]) / denom, 0.0, None) + tiny)
     sign = jnp.where(skew >= 0, 1.0, -1.0)
     omega_pi = theta[..., None] * axis_abs * sign
@@ -159,7 +179,7 @@ def se3_exp(xi: Array) -> RigidTransform:
     k = _hat3(omega)
     k2 = jnp.matmul(k, k, precision=HIGHEST)
     rot = so3_exp(omega)
-    small = jnp.abs(theta) < 1e-4
+    small = jnp.abs(theta) < _small_cut(xi.dtype)
     safe = jnp.where(small, 1.0, theta)
     b = jnp.where(
         small, 0.5 - theta * theta / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe)
@@ -179,7 +199,7 @@ def se3_log(transform: RigidTransform) -> Array:
     theta = _safe_norm(omega)
     k = _hat3(omega)
     k2 = jnp.matmul(k, k, precision=HIGHEST)
-    small = jnp.abs(theta) < 1e-4
+    small = jnp.abs(theta) < _small_cut(omega.dtype)
     safe = jnp.where(small, 1.0, theta)
     # V^{-1} = I - K/2 + (1/theta^2)(1 - A/(2B)) K^2
     a = _sinc(theta)
