@@ -455,6 +455,165 @@ def run_roofline(metrics, jnp, icp):
     )
 
 
+def run_serving(metrics, jnp, icp):
+    """Online-path latency evidence (VERDICT round-2 item 3a): the
+    BatchingRegistrar's latency/throughput trade, measured on the real chip.
+
+    Two regimes: (a) low load — sequential blocking requests, the p50 a
+    single client sees (batch-of-1 dispatch + max_delay); (b) saturation —
+    a burst of requests submitted as fast as the host can queue them, where
+    micro-batching amortizes the dispatch and p99 reflects queue depth.
+    """
+    from icp_tpu.serve import BatchingRegistrar
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    data_dir = _data_dir(repo)
+    a_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/first.csv")
+    b_pts = icp.io.parse_lidar_scan_array(f"{data_dir}/scan1/second.csv")
+    rng = np.random.default_rng(3)
+
+    def perturbed():
+        ang = rng.uniform(-0.05, 0.05)
+        c, s = np.cos(ang), np.sin(ang)
+        return a_pts @ np.array([[c, -s], [s, c]], dtype=np.float32) + rng.uniform(
+            -0.2, 0.2, 2
+        ).astype(np.float32)
+
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+    burst_n, batch = 512, 64
+    with BatchingRegistrar(
+        method, _bench_cfg(icp), capacity=CAPACITY, max_batch_size=batch,
+        max_delay=0.005,
+    ) as reg:
+        _progress("serving: compiling batched registrar ...")
+        reg.register(perturbed(), b_pts)  # compile
+        # (a) low load: one client, blocking round trips.
+        lats = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            reg.register(perturbed(), b_pts)
+            lats.append(time.perf_counter() - t0)
+        p50_low = float(np.percentile(lats, 50) * 1e3)
+        # (b) saturation burst.
+        t0 = time.perf_counter()
+        submits = []
+        futures = []
+        for _ in range(burst_n):
+            submits.append(time.perf_counter())
+            futures.append(reg.submit(perturbed(), b_pts))
+        done = []
+        for s, f in zip(submits, futures):
+            f.result(timeout=600)
+            done.append(time.perf_counter() - s)
+        total = time.perf_counter() - t0
+    throughput = burst_n / total
+    metrics.append(
+        {
+            "metric": "serving_low_load_p50_ms",
+            "value": round(p50_low, 2),
+            "unit": "ms/request (1 client, blocking)",
+            "vs_baseline": None,
+        }
+    )
+    metrics.append(
+        {
+            "metric": "serving_burst_p50_ms",
+            "value": round(float(np.percentile(done, 50) * 1e3), 2),
+            "unit": f"ms/request ({burst_n}-request burst, max_batch={batch})",
+            "vs_baseline": None,
+        }
+    )
+    metrics.append(
+        {
+            "metric": "serving_burst_p99_ms",
+            "value": round(float(np.percentile(done, 99) * 1e3), 2),
+            "unit": f"ms/request ({burst_n}-request burst, max_batch={batch})",
+            "vs_baseline": None,
+        }
+    )
+    metrics.append(
+        {
+            "metric": "serving_burst_throughput_pairs_per_sec",
+            "value": round(throughput, 2),
+            "unit": "pairs/s under saturation",
+            "vs_baseline": round(throughput / BASELINE_CONVERGES_PER_SEC, 2),
+        }
+    )
+    _progress(
+        f"serving: low-load p50 {p50_low:.1f} ms; burst p50 "
+        f"{np.percentile(done, 50)*1e3:.1f} ms p99 {np.percentile(done, 99)*1e3:.1f} ms; "
+        f"{throughput:.0f} pairs/s"
+    )
+
+
+def run_streaming(metrics, jnp, icp):
+    """Online-path latency evidence (VERDICT round-2 item 3b): per-scan
+    streaming-odometry latency, classic (host round-trip per scan,
+    odometry.stream_step's float() predicate) vs pipelined (device-side
+    predicate + deferred promotion; stream_odometry_pipelined).
+
+    Driven on the bundled seq1 sweeps — the data a robot would stream.
+    """
+    import glob as _glob
+
+    from icp_tpu import odometry
+    from icp_tpu.io import parse_sweep
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(_glob.glob(os.path.join(repo, "ex_data", "seq1", "sweep_*.conf")))
+    if not paths:
+        _progress("streaming: seq1 not found; skipping")
+        return
+    n_scans = 32
+    clouds = [
+        icp.pad_to(parse_sweep(p, dtype=np.float32), 1024) for p in paths[:n_scans]
+    ]
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+    cfg = _bench_cfg(icp)
+
+    def timed_stream(runner):
+        # Warm-up pass compiles; timed pass measures steady-state wall time
+        # per scan (total/scans — the honest number for a lagged pipeline).
+        list(runner(clouds[:4], method, cfg, 0.5, 0.1))
+        t0 = time.perf_counter()
+        out = list(runner(clouds, method, cfg, 0.5, 0.1))
+        dt = time.perf_counter() - t0
+        assert len(out) == len(clouds)
+        return dt / (len(clouds) - 1) * 1e3  # ms per registered scan
+
+    _progress("streaming: compiling classic + pipelined streams ...")
+    ms_classic = timed_stream(
+        lambda s, m, c, tt, ta: odometry.stream_odometry(
+            s, m, c, translation_threshold=tt, angle_threshold=ta
+        )
+    )
+    ms_pipelined = timed_stream(
+        lambda s, m, c, tt, ta: odometry.stream_odometry_pipelined(
+            s, m, c, translation_threshold=tt, angle_threshold=ta
+        )
+    )
+    metrics.append(
+        {
+            "metric": "stream_scan_ms_classic",
+            "value": round(ms_classic, 2),
+            "unit": "ms/scan (host-synced keyframe predicate)",
+            "vs_baseline": None,
+        }
+    )
+    metrics.append(
+        {
+            "metric": "stream_scan_ms_pipelined",
+            "value": round(ms_pipelined, 2),
+            "unit": "ms/scan (device predicate, deferred promotion)",
+            "vs_baseline": round(ms_classic / ms_pipelined, 2),
+        }
+    )
+    _progress(
+        f"streaming: classic {ms_classic:.1f} ms/scan -> pipelined "
+        f"{ms_pipelined:.1f} ms/scan ({ms_classic / ms_pipelined:.2f}x)"
+    )
+
+
 def _example_iterate_clouds(jnp, icp, b, n):
     rng = np.random.default_rng(7)
     pts = rng.uniform(-20.0, 20.0, (b, n, 2)).astype(np.float32)
@@ -500,6 +659,8 @@ def main():
             run_queen_3d,
             run_pose_graph,
             run_roofline,
+            run_serving,
+            run_streaming,
             run_pose_agreement,
         ):
             try:

@@ -614,3 +614,74 @@ def test_chain_scans_aot_wrap_shares_executable_across_lengths(rng, tmp_path):
     # 7 pairs lands in the same 8 bucket: every program (precompute AND
     # converge) must be a cache hit — no new entries.
     assert set(os.listdir(tmp_path)) == entries_after_first
+
+
+def test_stream_pipelined_matches_serial_reference(rng):
+    """stream_odometry_pipelined == a synchronous serial implementation of
+    the same deferred-promotion semantics (promotion decided at scan t takes
+    effect from scan t+2): identical poses, flags, and iteration counts."""
+    from icp_tpu.driver import make_converge_fn
+
+    scans_np, _ = make_scan_sequence(rng, t_steps=9)
+    scans = [icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np]
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    tt, ta = 0.5, 0.05
+
+    out = list(
+        odometry.stream_odometry_pipelined(
+            scans, method, cfg, translation_threshold=tt, angle_threshold=ta
+        )
+    )
+    assert len(out) == len(scans)
+    assert out[0][1] is True and out[0][2] is None
+
+    # Serial reference: same structure, but every step synchronizes via the
+    # classic stream_step before the next scan is even looked at.
+    fn = make_converge_fn(method, cfg)
+    keyframe, kf_pose = scans[0], icp.identity(2, dtype=np.float64)
+    ref = [(kf_pose, True, None)]
+    pending = None
+    for scan in scans[1:]:
+        pose, is_kf, result = odometry.stream_step(fn, keyframe, kf_pose, scan, tt, ta)
+        if pending is not None:
+            p_scan, p_pose, p_is_kf, p_result = pending
+            if p_is_kf:
+                keyframe, kf_pose = p_scan, p_pose
+            ref.append((p_pose, p_is_kf, p_result))
+        pending = (scan, pose, is_kf, result)
+    ref.append((pending[1], pending[2], pending[3]))
+
+    for t in range(1, len(scans)):
+        np.testing.assert_allclose(
+            np.asarray(out[t][0].translation),
+            np.asarray(ref[t][0].translation),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[t][0].rotation), np.asarray(ref[t][0].rotation), atol=1e-12
+        )
+        assert bool(out[t][1]) == bool(ref[t][1]), t
+        assert int(out[t][2].iteration_count) == int(ref[t][2].iteration_count), t
+
+
+def test_stream_pipelined_tracks_ground_truth(rng):
+    """Deferred promotion must not cost accuracy: the pipelined trajectory
+    matches the generating poses like the classic streaming path does."""
+    scans_np, poses_true = make_scan_sequence(rng)
+    scans = [icp.from_points(s, capacity=64, dtype=np.float64) for s in scans_np]
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    out = list(
+        odometry.stream_odometry_pipelined(
+            scans, method, cfg, translation_threshold=0.1, angle_threshold=0.05
+        )
+    )
+    assert sum(1 for _, is_kf, _ in out if is_kf) >= 2  # promotions happened
+    for t, (px, py, pth) in enumerate(poses_true):
+        pose, _, _ = out[t]
+        np.testing.assert_allclose(np.asarray(pose.translation), [px, py], atol=5e-3)
