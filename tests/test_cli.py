@@ -88,3 +88,111 @@ def test_register_config_override(capsys):
     default = _register(capsys)
     full = _register(capsys, "-c", "overlap_rate=1.0")
     assert full["iterations"] != default["iterations"]
+
+
+SEQ1 = os.path.join(REPO, "ex_data", "seq1")
+SEQ3D = os.path.join(REPO, "ex_data", "seq3d")
+
+
+def test_odometry_csv_batch_saves_trajectory(capsys, tmp_path):
+    """odometry over plain CSVs (bulk native-loader path) emits one JSON
+    record per scan and --save checkpoints the trajectory."""
+    save = str(tmp_path / "traj.npz")
+    cli.main([
+        "odometry", "--scans", f"{DATA}/scan1/first.csv", f"{DATA}/scan1/second.csv",
+        "-m", "trimmed", "--save", save,
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(line) for line in out]
+    assert len(recs) == 2
+    assert recs[0]["translation"] == [0.0, 0.0]
+    assert recs[1]["iterations"] > 0 and np.isfinite(recs[1]["cost"])
+    # Pose of scan 1 = inverse of the scan0->scan1 registration transform.
+    r = np.asarray(recs[1]["rotation"])
+    np.testing.assert_allclose(r @ r.T, np.eye(2), atol=1e-5)
+    assert os.path.exists(save)
+    from icp_tpu.checkpoint import load_leaves
+
+    rot_leaf, trans_leaf = load_leaves(save)
+    assert trans_leaf.shape == (2, 2) and rot_leaf.shape == (2, 2, 2)
+
+
+def test_odometry_conf_loop_closure_robust(capsys):
+    """seq1 .conf sweeps through --optimize --loop-radius with the robust
+    kernel: the full flag-plumbing path (sweep parsing, candidate search,
+    closure registration, auto robust scale, per-closure weight report)."""
+    scans = [os.path.join(SEQ1, f"sweep_{k:03d}.conf") for k in range(0, 12)]
+    cli.main([
+        "odometry", "--scans", *scans, "-m", "trimmed",
+        "--optimize", "--loop-radius", "2.5", "--loop-min-separation", "4",
+        "--robust-kernel", "gnc_gm",
+        "--max-iterations", "60",
+    ])
+    captured = capsys.readouterr()
+    recs = [json.loads(line) for line in captured.out.strip().splitlines()]
+    assert len(recs) == len(scans)
+    err = captured.err
+    assert "loop closures:" in err
+    assert "robust scale (auto):" in err
+    assert "pose-graph cost:" in err
+    assert "loop-closure robust weights:" in err
+    # Sweeps advance ~0.4 m/step along +x; the optimized trajectory keeps
+    # that structure (flag plumbing, not constants, is what's under test).
+    t_last = np.asarray(recs[-1]["translation"])
+    assert 3.0 < t_last[0] < 6.0 and abs(t_last[1]) < 0.5
+
+
+def test_odometry_ply_3d_sequence(capsys):
+    """--ply odometry over the bundled 3D sweeps: 3D dispatch, gicp config
+    plumbing, SE(3) records."""
+    scans = [os.path.join(SEQ3D, f"sweep_{k:03d}.ply") for k in range(3)]
+    cli.main([
+        "odometry", "--ply", "--scans", *scans, "-m", "gicp",
+        "-c", "dim=3", "neighbors=10", "normal_neighbors=10",
+        "--max-iterations", "40",
+    ])
+    recs = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert len(recs) == 3
+    r = np.asarray(recs[2]["rotation"])
+    assert r.shape == (3, 3)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    # Steps advance ~0.65 m along the sensor x axis.
+    assert 1.0 < recs[2]["translation"][0] < 1.6
+
+
+def test_bench_argv_statistics(capsys):
+    """bench subcommand prints the reference's statistics block
+    (bench/bench.cpp:108-142) for the selected method/scan."""
+    cli.main([
+        "bench", "--methods", "trimmed", "--scans", "1",
+        "--invocations", "2", "--data-dir", DATA,
+    ])
+    out = capsys.readouterr().out
+    assert "ICP method: trimmed, scan 1" in out
+    for stat in (
+        "Number of invocations: 2", "Min cost:", "Max cost:", "Median cost:",
+        "Mean cost:", "Min iterations:", "Max iterations:",
+        "Average time per invocation:", "Average time per iteration:",
+    ):
+        assert stat in out, stat
+
+
+def test_view_animate_html(capsys, tmp_path):
+    """view --animate renders frames + assembles the interactive HTML
+    viewer (the headless redesign of the SDL SPACE/I/D loop)."""
+    frames = str(tmp_path / "frames")
+    anim = str(tmp_path / "view.html")
+    cli.main([
+        "view", *SCAN1, "-m", "trimmed",
+        "--out", frames, "--iterations", "4", "--every", "2",
+        "--animate", anim, "--log",
+    ])
+    out = capsys.readouterr().out
+    assert "wrote 3 frames" in out
+    assert "final cost" in out
+    assert "iteration=0" in out  # --log per-iteration dump
+    assert os.path.exists(anim)
+    html = open(anim).read()
+    assert "<html" in html.lower()
+    pngs = [f for f in os.listdir(frames) if f.endswith(".png")]
+    assert len(pngs) == 3
