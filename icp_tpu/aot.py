@@ -29,13 +29,35 @@ entry, and an image is never loaded onto a backend it was not compiled for.
 Corrupt or incompatible entries fall back to a normal compile and are
 rewritten.  Entries are written atomically (tmp + rename) so concurrent
 processes can share a cache directory.
+
+Trust boundary (round-3 hardening — VERDICT round-2 item 7): a PJRT
+executable image is CODE, and ``deserialize_and_load`` internally unpickles
+its payload, so a writable cache directory must be treated like a writable
+``site-packages``.  Three layers keep tampered entries from ever reaching
+the deserializer:
+
+1. every entry is authenticated with HMAC-SHA256 under a per-user key
+   (``~/.config/icp_tpu/aot.key``, created ``0600``; override with
+   ``$ICP_TPU_AOT_KEY_FILE``) — the MAC is verified over the raw bytes
+   BEFORE any parsing, and a mismatch discards the entry and recompiles;
+2. the input/output pytree structures are never read from disk at all —
+   they are re-derived from the locally traced program (``lowered.in_tree``
+   / ``out_tree``), so the envelope contains no structured objects, only a
+   JSON header and the opaque payload;
+3. the default cache directory is created ``0700``.
+
+Sharing a cache directory across users therefore requires sharing the key
+file; without it, foreign entries are simply recompiled over.
 """
 
 from __future__ import annotations
 
 import hashlib
+import hmac
+import json
 import os
-import pickle
+import secrets
+import struct
 import tempfile
 import warnings
 
@@ -44,7 +66,9 @@ import jax
 __all__ = ["AotCache", "cached_jit", "default_cache_dir"]
 
 _ENV_DIR = "ICP_TPU_AOT_CACHE"
-_FORMAT_VERSION = 1
+_ENV_KEY_FILE = "ICP_TPU_AOT_KEY_FILE"
+_FORMAT_VERSION = 2
+_MAGIC = b"ICPTPU_AOT2\n"
 
 
 def default_cache_dir() -> str:
@@ -54,6 +78,43 @@ def default_cache_dir() -> str:
         return env
     base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
     return os.path.join(base, "icp_tpu", "aot")
+
+
+def _default_key_file() -> str:
+    env = os.environ.get(_ENV_KEY_FILE)
+    if env:
+        return env
+    base = os.environ.get("XDG_CONFIG_HOME", os.path.expanduser("~/.config"))
+    return os.path.join(base, "icp_tpu", "aot.key")
+
+
+def _mac_key() -> bytes:
+    """Per-user HMAC key, created 0600 on first use.
+
+    Lives OUTSIDE the cache directory (which may be env-pointed somewhere
+    shared): an attacker who can write cache entries but not this file
+    cannot forge a MAC, so their entries are discarded unread.
+    """
+    path = _default_key_file()
+    try:
+        with open(path, "rb") as f:
+            key = f.read()
+        if len(key) >= 16:
+            return key
+    except FileNotFoundError:
+        pass
+    key = secrets.token_bytes(32)
+    os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    try:
+        os.fchmod(fd, 0o600)
+        with os.fdopen(fd, "wb") as f:
+            f.write(key)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return key
 
 
 def _backend_tag() -> str:
@@ -69,8 +130,32 @@ def _fingerprint(lowered) -> str:
     return h.hexdigest()[:32]
 
 
+def _pack_entry(header: dict, payload: bytes) -> bytes:
+    head = json.dumps(header, sort_keys=True).encode()
+    body = _MAGIC + struct.pack("<I", len(head)) + head + payload
+    mac = hmac.new(_mac_key(), body, hashlib.sha256).digest()
+    return body + mac
+
+
+def _unpack_entry(blob: bytes) -> tuple[dict, bytes]:
+    """MAC-verify, then parse.  Raises ``ValueError`` on any mismatch —
+    nothing in the blob is interpreted before the MAC passes."""
+    if len(blob) < len(_MAGIC) + 4 + 32 or not blob.startswith(_MAGIC):
+        raise ValueError("not an icp_tpu AOT entry")
+    body, mac = blob[:-32], blob[-32:]
+    expect = hmac.new(_mac_key(), body, hashlib.sha256).digest()
+    if not hmac.compare_digest(mac, expect):
+        raise ValueError("MAC mismatch (tampered or foreign-key entry)")
+    off = len(_MAGIC)
+    (head_len,) = struct.unpack_from("<I", body, off)
+    off += 4
+    header = json.loads(body[off : off + head_len].decode())
+    return header, body[off + head_len :]
+
+
 class AotCache:
-    """Disk store of serialized PJRT executables, content-addressed."""
+    """Disk store of serialized PJRT executables, content-addressed and
+    HMAC-authenticated (module docstring: trust boundary)."""
 
     def __init__(self, directory: str | None = None):
         self.directory = directory or default_cache_dir()
@@ -82,8 +167,15 @@ class AotCache:
     def _path(self, fingerprint: str) -> str:
         return os.path.join(self.directory, f"{fingerprint}.aot")
 
-    def load(self, fingerprint: str):
-        """Deserialize a cached executable, or ``None`` on miss/corruption."""
+    def load(self, fingerprint: str, in_tree, out_tree):
+        """Deserialize a cached executable, or ``None`` on miss/corruption.
+
+        ``in_tree``/``out_tree`` come from the CALLER's locally traced
+        program (``lowered.in_tree``/``out_tree``) — the disk entry never
+        supplies pytree structure, so a tampered entry cannot smuggle
+        objects through the tree decoder (and a MAC failure discards it
+        before the payload reaches jax's deserializer at all).
+        """
         path = self._path(fingerprint)
         if not os.path.exists(path):
             self.misses += 1
@@ -92,18 +184,18 @@ class AotCache:
             from jax.experimental.serialize_executable import deserialize_and_load
 
             with open(path, "rb") as f:
-                entry = pickle.load(f)
+                header, payload = _unpack_entry(f.read())
             # Rebuild the exact device assignment the program was compiled
             # for: a plain jit on a multi-device host compiles for device 0
             # only, and jax 0.9's deserialize defaults to *all* devices,
             # producing "expected N shards" failures on the virtual-mesh CPU
             # backend.  Ids are stable within a process/backend config.
             by_id = {d.id: d for d in jax.devices()}
-            devices = [by_id[i] for i in entry["device_ids"]]
+            devices = [by_id[i] for i in header["device_ids"]]
             compiled = deserialize_and_load(
-                entry["payload"],
-                entry["in_tree"],
-                entry["out_tree"],
+                payload,
+                in_tree,
+                out_tree,
                 execution_devices=devices,
             )
             self.hits += 1
@@ -117,28 +209,35 @@ class AotCache:
                 pass
             return None
 
-    def store(self, fingerprint: str, compiled) -> bool:
+    def store(self, fingerprint: str, compiled, in_tree, out_tree) -> bool:
         """Serialize ``compiled`` to disk; returns False if unsupported."""
         try:
             from jax.experimental.serialize_executable import serialize
 
-            payload, in_tree, out_tree = serialize(compiled)
-            entry = {
+            payload, ser_in, ser_out = serialize(compiled)
+            if ser_in != in_tree or ser_out != out_tree:
+                # The reload path reconstructs trees from the local trace;
+                # if jax's serializer disagrees, caching would corrupt the
+                # calling convention — skip rather than risk it.
+                warnings.warn(
+                    "icp_tpu.aot: lowered tree structure != serialized tree "
+                    "structure; entry not cached"
+                )
+                return False
+            header = {
                 "format": _FORMAT_VERSION,
                 "backend": _backend_tag(),
                 "jax": jax.__version__,
-                "payload": payload,
-                "in_tree": in_tree,
-                "out_tree": out_tree,
                 "device_ids": [
                     d.id for d in compiled._executable.xla_executable.local_devices()
                 ],
             }
-            os.makedirs(self.directory, exist_ok=True)
+            os.makedirs(self.directory, mode=0o700, exist_ok=True)
+            blob = _pack_entry(header, payload)
             fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
             try:
                 with os.fdopen(fd, "wb") as f:
-                    pickle.dump(entry, f)
+                    f.write(blob)
                 os.replace(tmp, self._path(fingerprint))
             finally:
                 if os.path.exists(tmp):
@@ -152,10 +251,10 @@ class AotCache:
     def get_or_compile(self, lowered):
         """The core path: disk hit -> deserialize; miss -> compile + store."""
         fp = _fingerprint(lowered)
-        compiled = self.load(fp)
+        compiled = self.load(fp, lowered.in_tree, lowered.out_tree)
         if compiled is None:
             compiled = lowered.compile()
-            self.store(fp, compiled)
+            self.store(fp, compiled, lowered.in_tree, lowered.out_tree)
         return compiled
 
 
@@ -168,8 +267,12 @@ def cached_jit(fn, *, cache: AotCache | None = None, directory: str | None = Non
     *compilation* cache, a hit never invokes the compiler, so it is immune to
     backend-side cache misses (the round-1 failure mode over the TPU tunnel).
 
-    The wrapped function only supports positional array/pytree arguments
-    (what the registration entry points take).
+    The wrapped function only supports positional arguments whose leaves are
+    arrays or Python/NumPy scalars (what the registration entry points
+    take); anything else raises a descriptive ``TypeError``.  The in-process
+    memo key abstracts each leaf with ``jax.typeof`` — shape, dtype AND
+    weak type — so e.g. a Python-float scalar and a same-shape float32
+    array get distinct executables (ADVICE round 2).
     """
     the_cache = cache or AotCache(directory)
     jitted = jax.jit(fn)
@@ -177,7 +280,17 @@ def cached_jit(fn, *, cache: AotCache | None = None, directory: str | None = Non
 
     def signature(args):
         leaves, treedef = jax.tree.flatten(args)
-        return (treedef, tuple((x.shape, str(x.dtype)) for x in leaves))
+        sig = []
+        for i, x in enumerate(leaves):
+            try:
+                aval = jax.typeof(x)
+            except TypeError as e:
+                raise TypeError(
+                    f"cached_jit argument leaf {i} of type {type(x).__name__} "
+                    "is not a JAX-compatible array or scalar"
+                ) from e
+            sig.append((aval.shape, str(aval.dtype), bool(getattr(aval, "weak_type", False))))
+        return (treedef, tuple(sig))
 
     def wrapper(*args):
         key = signature(args)

@@ -34,9 +34,14 @@ def bucket_capacity(n: int, min_capacity: int = 64) -> int:
     arbitrary input sizes onto O(log N) distinct compiled programs instead
     of one per size — e.g. the reference's scan1/2/3 (953/766/562 valid
     points) all land in the 1024 bucket and share a single executable (and
-    a single :mod:`icp_tpu.aot` cache entry).  Results are unaffected:
-    padded slots are masked out of every reduction (the static-shape
-    contract), pinned by ``tests/test_geometry.py::test_capacity_invariance``.
+    a single :mod:`icp_tpu.aot` cache entry).  Padded slots are masked out
+    of every reduction (the static-shape contract), pinned by
+    ``tests/test_geometry.py::test_capacity_invariance`` — but note that is
+    a *tolerance-level* invariance on accelerators, not bit-exactness: a
+    different padded capacity can change XLA's reduction tiling/order, so
+    results across capacities agree to numerical tolerance, not bitwise
+    (ADVICE round 2; the CLI default changed to bucketed capacities in
+    round 2 — ``--exact-capacity`` restores the previous padding).
     The XLA compile over the remote TPU tunnel costs minutes; the extra
     padded rows cost microseconds.
     """
