@@ -614,6 +614,61 @@ def run_streaming(metrics, jnp, icp):
     )
 
 
+def run_mapping(metrics, jnp, icp):
+    """Device-side local-map maintenance (VERDICT round-2 item 8): one
+    keyframe merge into a 64k-point map — jitted merge_map_device on the
+    chip vs the host NumPy lexsort path (includes its device->host map
+    transfer, which is what the device path removes)."""
+    import jax
+
+    from icp_tpu import mapping
+
+    cap, n_scan = 65536, 4096
+    rng = np.random.default_rng(11)
+    map_pts = jnp.asarray(rng.uniform(-40, 40, (cap, 3)).astype(np.float32))
+    scan_pts = jnp.asarray(rng.uniform(-5, 5, (n_scan, 3)).astype(np.float32))
+    scan_mask = jnp.ones((n_scan,), dtype=bool)
+    center = jnp.zeros((3,), dtype=jnp.float32)
+    map_count = jnp.int32(cap)
+
+    merge = jax.jit(
+        lambda mp, mc, sp, sm, c: mapping.merge_map_device(
+            mp, mc, sp, sm, 0.2, cap, c
+        )
+    )
+    _progress("mapping: compiling 64k device merge ...")
+    out, cnt = merge(map_pts, map_count, scan_pts, scan_mask, center)
+    int(cnt)  # materialize
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        out, cnt = merge(map_pts, map_count, scan_pts, scan_mask, center)
+        int(cnt)
+    dev_ms = (time.perf_counter() - t0) / REPEATS * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        host_map = mapping.LocalMap(0.2, cap, np.asarray(map_pts))
+        host_map = host_map.merged_with(np.asarray(scan_pts))
+    host_ms = (time.perf_counter() - t0) / 3 * 1e3
+    metrics.append(
+        {
+            "metric": "map_merge_64k_device_ms",
+            "value": round(dev_ms, 2),
+            "unit": "ms/keyframe merge (64k map + 4k scan, on device)",
+            "vs_baseline": round(host_ms / dev_ms, 2),
+        }
+    )
+    metrics.append(
+        {
+            "metric": "map_merge_64k_host_ms",
+            "value": round(host_ms, 2),
+            "unit": "ms/keyframe merge (host NumPy incl. device->host copy)",
+            "vs_baseline": None,
+        }
+    )
+    _progress(f"mapping: device {dev_ms:.1f} ms vs host {host_ms:.1f} ms per merge")
+
+
 def _example_iterate_clouds(jnp, icp, b, n):
     rng = np.random.default_rng(7)
     pts = rng.uniform(-20.0, 20.0, (b, n, 2)).astype(np.float32)
@@ -661,6 +716,7 @@ def main():
             run_roofline,
             run_serving,
             run_streaming,
+            run_mapping,
             run_pose_agreement,
         ):
             try:

@@ -355,6 +355,7 @@ def cmd_odometry(args):
             mapping.scan_to_map_odometry(
                 clouds, method, cfg,
                 voxel_size=args.voxel_size, map_capacity=args.map_capacity,
+                device_map=args.device_map,
             )
         ):
             poses_list.append(pose)
@@ -662,6 +663,11 @@ def main(argv=None):
     )
     p_odo.add_argument("--voxel-size", type=float, default=0.1)
     p_odo.add_argument("--map-capacity", type=int, default=8192)
+    p_odo.add_argument(
+        "--device-map", action="store_true",
+        help="keep the aggregated map on device (jitted static-shape voxel "
+        "merge) instead of host NumPy — for large maps / accelerators",
+    )
     p_odo.add_argument("--render", help="write a trajectory/map PNG to this path")
     p_odo.add_argument("--save", help="checkpoint the trajectory poses (.npz)")
     p_odo.add_argument(

@@ -53,6 +53,114 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     return (sums / counts).astype(pts.dtype)
 
 
+#: Per-axis voxel-coordinate bound for the device filter's packed sort keys
+#: (int32-safe on TPU, where x64 is disabled): cells are clamped to
+#: ``[-2^14, 2^14)`` — at a 0.1 m voxel that is a ±1.6 km map extent.
+_CELL_BOUND = 1 << 14
+
+
+def voxel_downsample_device(points, mask, voxel_size: float, capacity: int):
+    """Static-shape, on-device centroid-per-voxel filter.
+
+    ``points (N, D)`` with validity ``mask (N,)`` -> ``(out (capacity, D),
+    count)`` where the first ``count`` rows are the voxel centroids in
+    ascending cell order (x-major lexicographic — the same order the host
+    :func:`voxel_downsample` emits) and the rest are zeros.  Fully jittable:
+    one stable lexsort on packed int32 cell keys, segment boundaries from
+    adjacent-key comparison, centroids via two ``segment_sum`` scatters —
+    no dynamic shapes, so scan-to-map maintenance can stay on device at
+    fixed shapes instead of round-tripping a growing map through host NumPy
+    (VERDICT round-2 item 8).
+
+    Cells beyond :data:`_CELL_BOUND` voxels from the origin are clamped
+    (they merge with the boundary cell); if more than ``capacity`` cells
+    are occupied, the trailing cells in key order are dropped and ``count``
+    is truncated — pick ``capacity`` at the map budget, not the scan size.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, d = points.shape
+    cells = jnp.floor(points / voxel_size).astype(jnp.int32)
+    cells = jnp.clip(cells, -_CELL_BOUND, _CELL_BOUND - 1) + _CELL_BOUND
+    if d == 2:
+        key_hi = cells[:, 0]
+        key_lo = cells[:, 1]
+    else:
+        key_hi = (cells[:, 0] << 15) | cells[:, 1]
+        key_lo = cells[:, 2]
+    # Invalid points sort to the very end (and form their own segments).
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    key_hi = jnp.where(mask, key_hi, big)
+    key_lo = jnp.where(mask, key_lo, big)
+    order = jnp.lexsort((key_lo, key_hi))
+    hi_s, lo_s = key_hi[order], key_lo[order]
+    pts_s = points[order]
+    valid_s = mask[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ]
+    )
+    seg = jnp.cumsum(first) - 1  # dense segment ids in sorted order
+    w = valid_s.astype(points.dtype)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=n)
+    cnts = jax.ops.segment_sum(w, seg, num_segments=n)
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    k_cells = jnp.sum(first & valid_s).astype(jnp.int32)
+    out = centroids[:capacity] if capacity <= n else jnp.concatenate(
+        [centroids, jnp.zeros((capacity - n, d), dtype=points.dtype)]
+    )
+    count = jnp.minimum(k_cells, capacity)
+    out = jnp.where((jnp.arange(capacity) < count)[:, None], out, 0.0)
+    return out, count
+
+
+def merge_map_device(
+    map_points,
+    map_count,
+    scan_points,
+    scan_mask,
+    voxel_size: float,
+    capacity: int,
+    center,
+):
+    """On-device :meth:`LocalMap.merged_with`: concat + voxel filter + (on
+    overflow) keep the ``capacity`` cells nearest ``center``.
+
+    ``map_points (capacity, D)`` (first ``map_count`` valid), scan points
+    ``(N, D)`` with ``scan_mask`` -> ``(new_map (capacity, D), new_count)``.
+    Jittable at fixed shapes: the merge is one downsample over the
+    ``capacity + N`` concatenation, and the overflow trim is a static
+    ``top_k`` over negative distances (ties resolve by top_k policy, vs the
+    host's stable argsort — the documented "up to ties" difference).
+    Valid rows stay contiguous, so the result feeds ``PointCloud(points,
+    count)`` directly.  (The result is distance-ordered even without
+    overflow — registration is order-invariant, and one code path keeps the
+    program static.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_total = map_points.shape[0] + scan_points.shape[0]
+    all_pts = jnp.concatenate([map_points, scan_points], axis=0)
+    all_mask = jnp.concatenate(
+        [jnp.arange(map_points.shape[0]) < map_count, scan_mask], axis=0
+    )
+    cells, k = voxel_downsample_device(all_pts, all_mask, voxel_size, n_total)
+    valid = jnp.arange(n_total) < k
+    d2 = jnp.sum((cells - center) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    # Static top-k nearest the newest scan's centroid; ascending distance.
+    neg, idx = jax.lax.top_k(-d2, capacity)
+    new_count = jnp.minimum(k, capacity)
+    out = jnp.where(
+        (jnp.arange(capacity) < new_count)[:, None], cells[idx], 0.0
+    )
+    return out, new_count
+
+
 @dataclasses.dataclass
 class LocalMap:
     """World-frame aggregated map with bounded size."""
@@ -81,6 +189,7 @@ def scan_to_map_odometry(
     keyframe_translation: float = 0.5,
     keyframe_angle: float = 0.1,
     metrics=None,
+    device_map: bool = False,
 ):
     """Online scan-to-map odometry; yields ``(pose, is_keyframe, result)``.
 
@@ -89,32 +198,70 @@ def scan_to_map_odometry(
     points into the map.  One compiled converge per (scan, map) capacity
     pair — the map cloud is padded to ``map_capacity`` so the program is
     stable once the map fills.
+
+    ``device_map=True`` keeps the map on device at fixed shapes: keyframe
+    merges run the jitted transform + :func:`merge_map_device` (one
+    compiled program once shapes repeat) instead of the host-NumPy
+    lexsort path — the piece that otherwise leaves the TPU as maps grow
+    (VERDICT round-2 item 8).  Same semantics up to within-voxel fp
+    summation order and overflow tie policy.
     """
+    import jax
     import jax.numpy as jnp
 
+    from .cloud import PointCloud
+
     fn = make_converge_fn(method, config)  # jit specializes per shape itself
+    merge_jit = None
+    if device_map:
+        merge_jit = jax.jit(
+            lambda mp, mc, pose, scan_pts, scan_mask, center: merge_map_device(
+                mp,
+                mc,
+                geometry.apply(pose, scan_pts),
+                scan_mask,
+                voxel_size,
+                map_capacity,
+                center,
+            ),
+        )
     local_map: LocalMap | None = None
+    dev_map_pts = dev_map_count = None
     kf_pose = None
     prev_pose = None
     dim = None
 
     for t, scan in enumerate(scans):
-        if local_map is None:
+        if local_map is None and dev_map_pts is None:
             dim = scan.dim
-            pts = np.asarray(scan.points[: int(scan.count)])
-            # Build through merged_with so the initial map also respects
-            # map_capacity (a dense first scan can exceed it on its own).
-            local_map = LocalMap(
-                voxel_size, map_capacity, np.zeros((0, dim), dtype=pts.dtype)
-            ).merged_with(pts)
             kf_pose = geometry.identity(dim, dtype=scan.dtype)
             prev_pose = kf_pose
+            if device_map:
+                empty = jnp.zeros((map_capacity, dim), dtype=scan.dtype)
+                center = jnp.sum(
+                    jnp.where(scan.mask[:, None], scan.points, 0.0), axis=0
+                ) / jnp.maximum(scan.count, 1)
+                dev_map_pts, dev_map_count = merge_jit(
+                    empty, jnp.int32(0), kf_pose, scan.points, scan.mask, center
+                )
+            else:
+                pts = np.asarray(scan.points[: int(scan.count)])
+                # Build through merged_with so the initial map also respects
+                # map_capacity (a dense first scan can exceed it on its own).
+                local_map = LocalMap(
+                    voxel_size, map_capacity, np.zeros((0, dim), dtype=pts.dtype)
+                ).merged_with(pts)
             yield kf_pose, True, None
             continue
 
-        map_cloud = from_points(
-            local_map.points, capacity=map_capacity, dtype=np.asarray(scan.points).dtype
-        )
+        if device_map:
+            map_cloud = PointCloud(dev_map_pts, dev_map_count)
+        else:
+            map_cloud = from_points(
+                local_map.points,
+                capacity=map_capacity,
+                dtype=np.asarray(scan.points).dtype,
+            )
         # Seed from the PREVIOUS scan's pose — strictly fresher than the
         # keyframe pose, so the initial-guess error is bounded by one scan's
         # motion rather than a whole keyframe interval (sustained turns
@@ -143,12 +290,22 @@ def scan_to_map_odometry(
                 iterations=int(result.iteration_count),
                 cost=float(result.cost),
                 keyframe=is_kf,
-                map_points=len(local_map.points),
+                map_points=int(dev_map_count) if device_map else len(local_map.points),
             )
         if is_kf:
-            world_pts = np.asarray(
-                geometry.apply(pose, scan.points)
-            )[: int(scan.count)]
-            local_map = local_map.merged_with(world_pts)
+            if device_map:
+                center = jnp.sum(
+                    jnp.where(scan.mask[:, None], scan.points, 0.0), axis=0
+                ) / jnp.maximum(scan.count, 1)
+                world_center = geometry.apply(pose, center[None, :])[0]
+                dev_map_pts, dev_map_count = merge_jit(
+                    dev_map_pts, dev_map_count, pose,
+                    scan.points, scan.mask, world_center,
+                )
+            else:
+                world_pts = np.asarray(
+                    geometry.apply(pose, scan.points)
+                )[: int(scan.count)]
+                local_map = local_map.merged_with(world_pts)
             kf_pose = pose
         yield pose, is_kf, result

@@ -79,3 +79,130 @@ def test_scan_to_map_first_scan_exceeding_capacity(rng):
     # meaningful registration target, so only require a finite result.
     assert len(out) == 2
     assert np.isfinite(np.asarray(out[1][0].translation)).all()
+
+
+# ------------------------------------------------------------------
+# Device-side map maintenance (VERDICT round-2 item 8)
+
+
+def _masked(rng, n, d, valid, scale=5.0):
+    pts = rng.uniform(-scale, scale, (n, d))
+    pts[valid:] = 99.0  # garbage in padded slots; must not leak
+    mask = np.arange(n) < valid
+    return pts, mask
+
+
+@np.errstate(all="ignore")
+def test_voxel_downsample_device_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    for d in (2, 3):
+        pts, mask = _masked(rng, 256, d, 201)
+        host = mapping.voxel_downsample(pts[:201], 0.5)
+        dev_pts, count = mapping.voxel_downsample_device(
+            jnp.asarray(pts), jnp.asarray(mask), 0.5, capacity=256
+        )
+        k = int(count)
+        assert k == len(host)
+        # Same centroids in the same (x-major cell) order.
+        np.testing.assert_allclose(np.asarray(dev_pts)[:k], host, atol=1e-12)
+        # Padded output rows are zeroed.
+        np.testing.assert_array_equal(np.asarray(dev_pts)[k:], 0.0)
+
+
+def test_voxel_downsample_device_capacity_truncates():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    pts, mask = _masked(rng, 128, 2, 128)
+    full, count_full = mapping.voxel_downsample_device(
+        jnp.asarray(pts), jnp.asarray(mask), 0.25, capacity=128
+    )
+    k = int(count_full)
+    assert k > 16
+    trunc, count_t = mapping.voxel_downsample_device(
+        jnp.asarray(pts), jnp.asarray(mask), 0.25, capacity=16
+    )
+    assert int(count_t) == 16
+    np.testing.assert_allclose(
+        np.asarray(trunc), np.asarray(full)[:16], atol=1e-12
+    )
+
+
+def test_merge_map_device_matches_host_as_set(rng):
+    """Device merge == LocalMap.merged_with up to ordering/tie policy,
+    including the overflow trim toward the scan centroid.  The host base
+    must itself fit the capacity (LocalMap only enforces capacity in
+    merged_with), so the base is built the way scan_to_map builds it."""
+    import jax.numpy as jnp
+
+    def canon(a):
+        return a[np.lexsort(a.T[::-1])]
+
+    for capacity, n_map, n_scan in ((512, 300, 200), (64, 300, 200)):
+        map_pts = rng.uniform(-5, 5, (n_map, 2))
+        scan_pts = rng.uniform(-2, 2, (n_scan, 2))
+        # Host base: empty -> merged_with(map_pts) (capacity-respecting).
+        empty = mapping.LocalMap(0.3, capacity, np.zeros((0, 2)))
+        host_base = empty.merged_with(map_pts)
+        host = host_base.merged_with(scan_pts)
+
+        # Device base: same construction (empty map + map_pts merge, center
+        # = map_pts centroid, matching merged_with's trim center).
+        zero = jnp.zeros((capacity, 2))
+        base_pts, base_count = mapping.merge_map_device(
+            zero, jnp.int32(0), jnp.asarray(map_pts), jnp.ones(n_map, bool),
+            0.3, capacity, jnp.asarray(map_pts.mean(axis=0)),
+        )
+        np.testing.assert_allclose(
+            canon(np.asarray(base_pts)[: int(base_count)]),
+            canon(host_base.points),
+            atol=1e-9,
+        )
+        out, count = mapping.merge_map_device(
+            base_pts, base_count, jnp.asarray(scan_pts),
+            jnp.ones(n_scan, bool), 0.3, capacity,
+            jnp.asarray(scan_pts.mean(axis=0)),
+        )
+        got = np.asarray(out)[: int(count)]
+        assert len(got) == len(host.points)
+        np.testing.assert_allclose(canon(got), canon(host.points), atol=1e-9)
+
+
+def test_scan_to_map_device_matches_host_trajectory(rng):
+    """device_map=True reproduces the host-map trajectory (same scans, same
+    keyframe schedule, poses equal to fp tolerance)."""
+    import math
+
+    world = rng.uniform(-25, 25, (160, 2))
+    t_steps, radius = 12, 4.0
+    scans = []
+    for k in range(t_steps):
+        phi = math.pi * k / (t_steps - 1)
+        px, py, th = radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        pts += rng.normal(0, 0.01, pts.shape)
+        scans.append(icp.from_points(pts, capacity=160, dtype=np.float64))
+
+    method = icp.from_method("robust", 2)
+    cfg = icp.DriverConfig(
+        max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    host = list(
+        mapping.scan_to_map_odometry(scans, method, cfg, voxel_size=0.2, map_capacity=1024)
+    )
+    dev = list(
+        mapping.scan_to_map_odometry(
+            scans, method, cfg, voxel_size=0.2, map_capacity=1024, device_map=True
+        )
+    )
+    assert len(host) == len(dev) == t_steps
+    for t in range(t_steps):
+        assert bool(host[t][1]) == bool(dev[t][1]), t  # same keyframe schedule
+        np.testing.assert_allclose(
+            np.asarray(dev[t][0].translation),
+            np.asarray(host[t][0].translation),
+            atol=1e-6,
+        )
