@@ -15,7 +15,16 @@ transfer — but consuming loop-carried ppermute outputs AFTER a
 loop-exit values are individually correct, yet the fused program folds the
 wrong winner on ties).  All folds therefore stay inside the loop; the final
 rotation's output is discarded — one extra shard transfer per call, ~1/P of
-ring traffic.)
+ring traffic.
+
+Workaround provenance, for deliberate retirement: observed under
+**jax 0.9.0** (jaxlib 0.9.0, PJRT TPU plugin) during round-1 bring-up of
+this module; ``scripts/repro_ppermute_fori_miscompile.py`` is the minimal
+self-contained upstream repro (exit 1 when the miscompile is present), and
+``tests/test_parallel.py::test_ring_nn_fori_workaround_canary`` pins both
+variants' behavior on the CPU mesh so a JAX upgrade that changes either
+side is flagged.  Retire the extra rotation only after the repro passes on
+the REAL multi-device TPU backend for the new version.)
 
 Exactness: for FINITE inputs, bit-equal to the single-device kernel — ties
 break to the lower *global* target index independent of ring visit order

@@ -345,3 +345,41 @@ def test_ring_nn_fori_workaround_canary(rng):
         "P-1 ring variant no longer agrees on CPU — JAX behavior changed; "
         "re-verify the ring_nn workaround on hardware (ring_nn.py:13-18)"
     )
+
+
+def test_comm_census_attributes_loop_collectives(rng):
+    """The HLO collective census (scripts/scaling_bench.py) correctly
+    splits per-call vs per-while-iteration collectives and sizes them —
+    pinned on a tiny program so an HLO text-format change in a JAX upgrade
+    is caught here, not in a silent all-zeros scaling table."""
+    import importlib.util
+    import os as _os
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_bench",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "scripts", "scaling_bench.py"),
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    mesh = make_mesh(data=1, points=8)
+
+    def kernel(x):
+        def body(_, c):
+            return jax.lax.psum(c, "points")  # f32[16] all-reduce per iter
+
+        y = jax.lax.fori_loop(0, 4, body, x)
+        return jax.lax.psum(y, "points")  # one more per call
+
+    fn = shard_map(
+        kernel, mesh=mesh, in_specs=P("points"), out_specs=P(),
+        check_vma=False,
+    )
+    compiled = jax.jit(fn).lower(jnp.ones((128,), jnp.float32)).compile()
+    stats = sb.collective_stats(compiled.as_text())
+    assert stats["per_iteration_bytes"].get("all-reduce", 0) == 16 * 4
+    assert stats["per_call_bytes"].get("all-reduce", 0) == 16 * 4
