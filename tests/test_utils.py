@@ -166,3 +166,19 @@ def test_assemble_animation_gif_and_html(tmp_path, rng):
     html = assemble_animation(str(frames), str(tmp_path / "out.html"), dumps)
     text = (tmp_path / "out.html").read_text()
     assert '"png"' in text and "Space" in text and '"cost"' in text
+
+
+def test_bench_docs_in_sync_with_artifact():
+    """README/BASELINE bench blocks must be generated from the shipped
+    bench_results.json (scripts/sync_bench_docs.py): prose performance
+    figures can no longer drift from the artifact (VERDICT round-2 item 6)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "sync_bench_docs.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
