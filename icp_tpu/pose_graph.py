@@ -236,7 +236,12 @@ def auto_robust_scale(
     exactly (retained ~ 0), ``2 · max`` alone would land below the
     perturbation a single GN step introduces, and the GM weight of even a
     perfect closure cascades to 0 (measured on the clean square scenario:
-    retained 4e-4 m vs odometry noise 7e-3 m).  Measured on the round-3
+    retained 4e-4 m vs odometry noise 7e-3 m).  The floor is HALF the
+    median: at the full median it overshoots the separating window when
+    odometry noise is high relative to the closures' retained residuals
+    (measured on the SE(3) scenario: floor 0.115 kept the wrong closure at
+    w=0.6 while any scale in [0.04, 0.08] rejected it).  Measured on the
+    round-3
     design scenarios this rule lands in each one's (disjoint!) working
     window.  Costs one extra L2 solve at the same budget.  Returns a traced
     scalar — safe to feed straight into :func:`optimize` /
@@ -278,7 +283,7 @@ def auto_robust_scale(
         vals = jnp.sort(jnp.where(graph.weights > 0, rn, jnp.inf))
         count = jnp.sum(graph.weights > 0)
         noise = jnp.where(count > 0, vals[jnp.maximum(count // 2, 0)], 0.0)
-    return jnp.maximum(jnp.maximum(2.0 * closure_max, noise), 1e-3)
+    return jnp.maximum(jnp.maximum(2.0 * closure_max, 0.5 * noise), 1e-3)
 
 
 def _geometric_rn2(graph: PoseGraph, poses: RigidTransform) -> Array:

@@ -345,3 +345,68 @@ def test_run_slam_robust_wiring(rng):
     )
     w_auto = np.asarray(auto.edge_weights)[t_steps - 1 :]
     assert w_auto.min() < 0.5  # the flagged closure shows up in the report
+
+
+def test_robust_rejects_bad_closure_se3(rng):
+    """The robust back-end is dimension-generic: an injected wrong SE(3)
+    closure (plausible cost, wrong basin) is rejected on a 3D trajectory
+    exactly like the 2D case (GNC + auto scale, loop-only mask)."""
+    t_steps = 15
+    twists = rng.uniform(-0.25, 0.25, (t_steps - 1, 6))
+    gt = [geometry.RigidTransform(jnp.eye(3), jnp.zeros(3))]
+    for k in range(t_steps - 1):
+        gt.append(geometry.compose(gt[-1], lie.se3_exp(jnp.asarray(twists[k]))))
+    noisy = twists + rng.normal(0, 0.02, twists.shape)
+    meas = lie.se3_exp(jnp.asarray(noisy))
+    init = [gt[0]]
+    for k in range(t_steps - 1):
+        init.append(
+            geometry.compose(
+                init[-1],
+                geometry.RigidTransform(meas.rotation[k], meas.translation[k]),
+            )
+        )
+    poses0 = geometry.RigidTransform(
+        jnp.stack([p.rotation for p in init]),
+        jnp.stack([p.translation for p in init]),
+    )
+    # True closure end->start; wrong closure offset 1.2 m in y.
+    rel_true = geometry.compose(geometry.inverse(gt[-1]), gt[0])
+    a, b = t_steps - 3, 2
+    rel_bad = geometry.compose(geometry.inverse(gt[a]), gt[b])
+    loop_meas = geometry.RigidTransform(
+        jnp.stack([rel_true.rotation, rel_bad.rotation]),
+        jnp.stack(
+            [rel_true.translation, rel_bad.translation + jnp.asarray([0.0, 1.2, 0.0])]
+        ),
+    )
+    graph = pose_graph.graph_from_trajectory(
+        poses0, meas,
+        loop_edges=jnp.asarray([[t_steps - 1, 0], [a, b]], dtype=jnp.int32),
+        loop_measurements=loop_meas, loop_weight=10.0,
+    )
+    oracle = pose_graph.graph_from_trajectory(
+        poses0, meas,
+        loop_edges=jnp.asarray([[t_steps - 1, 0]], dtype=jnp.int32),
+        loop_measurements=geometry.RigidTransform(
+            rel_true.rotation[None], rel_true.translation[None]
+        ),
+        loop_weight=10.0,
+    )
+    mask = _loop_mask(graph, t_steps - 1)
+    gt_t = np.stack([np.asarray(p.translation) for p in gt])
+
+    l2, _ = pose_graph.optimize(graph, iterations=20, solver="dense")
+    orc, _ = pose_graph.optimize(oracle, iterations=20, solver="dense")
+    rob, _ = pose_graph.optimize(
+        graph, iterations=30, solver="dense",
+        robust="gnc_gm", robust_scale="auto", robust_edges=mask,
+    )
+    scale = pose_graph.auto_robust_scale(
+        graph, iterations=30, solver="dense", robust_edges=mask
+    )
+    w, _ = pose_graph.robust_edge_weights(rob, "gnc_gm", scale, robust_edges=mask)
+    assert _ate(l2.poses, gt_t) > 0.15
+    assert float(w[-1]) < 0.05  # bad SE(3) closure dead
+    assert float(w[-2]) > 0.8  # true closure alive
+    assert _ate(rob.poses, gt_t) < _ate(orc.poses, gt_t) + 0.1
