@@ -681,6 +681,70 @@ def run_streaming(metrics, jnp, icp):
     )
 
 
+def run_seq3d(metrics, jnp, icp):
+    """3D end-to-end row (VERDICT round-2 item 2): GICP odometry over the
+    bundled 72-sweep seq3d loop + SE(3) robust loop closure, reporting
+    throughput and the before/after end-pose error vs ground truth."""
+    import glob as _glob
+    import json as _json
+
+    from icp_tpu import slam
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    seq = os.path.join(repo, "ex_data", "seq3d")
+    paths = sorted(_glob.glob(os.path.join(seq, "sweep_*.ply")))
+    if not paths:
+        _progress("seq3d: dataset missing; skipped")
+        return
+    clouds = [
+        icp.from_points(icp.io.read_ply(p), capacity="bucket", dtype=np.float32)
+        for p in paths
+    ]
+    cap = max(c.capacity for c in clouds)
+    scans = icp.stack([icp.pad_to(c, cap) for c in clouds])
+    with open(os.path.join(seq, "groundtruth.json")) as f:
+        gt = _json.load(f)
+    rot = np.asarray(gt["rotations"])
+    tr = np.asarray(gt["translations"])
+    gt_t0 = np.einsum("ij,tj->ti", rot[0].T, tr - tr[0])
+
+    method = icp.from_method(
+        "gicp", 3, icp.Config(dim=3, neighbors=10, normal_neighbors=10)
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    _progress("seq3d: compiling 3D gicp odometry + SE(3) SLAM ...")
+    t0 = time.perf_counter()
+    res = slam.run_slam(
+        scans, method, cfg, loop_radius=2.0, loop_min_separation=50,
+        loop_weight=10.0, robust="gnc_gm",
+    )
+    dt = time.perf_counter() - t0
+    n_pairs = len(paths) - 1
+    end_raw = float(
+        np.linalg.norm(np.asarray(res.trajectory.poses.translation[-1]) - gt_t0[-1])
+    )
+    end_opt = float(np.linalg.norm(np.asarray(res.poses.translation[-1]) - gt_t0[-1]))
+    metrics.append(
+        {
+            "metric": "seq3d_gicp_slam_end_error_m",
+            "value": round(end_opt, 4),
+            "unit": (
+                f"m end-pose error after SE(3) robust closure (raw odometry "
+                f"{end_raw:.3f} m over ~47 m; {len(np.asarray(res.loop_edges))} "
+                f"closures; {n_pairs} pairs at cap {cap}, cold-compile "
+                f"wall {dt:.0f}s)"
+            ),
+            "vs_baseline": round(end_raw / max(end_opt, 1e-6), 1),
+        }
+    )
+    _progress(
+        f"seq3d: end error {end_raw:.3f} -> {end_opt:.4f} m "
+        f"({dt:.0f}s incl. compiles)"
+    )
+
+
 def run_mapping(metrics, jnp, icp):
     """Device-side local-map maintenance (VERDICT round-2 item 8): one
     keyframe merge into a 64k-point map — jitted merge_map_device on the
@@ -784,6 +848,7 @@ def main():
             run_serving,
             run_streaming,
             run_mapping,
+            run_seq3d,
             run_pose_agreement,
         ):
             try:
