@@ -212,16 +212,26 @@ def stream_step(
     scan: PointCloud,
     translation_threshold: float,
     angle_threshold: float,
+    guess: RigidTransform | None = None,
 ):
     """One streaming-odometry advance: register ``keyframe -> scan`` and
     decide keyframe promotion.  Returns ``(pose, is_keyframe, result)``.
+
+    ``guess`` seeds the registration (default identity — the historical
+    behavior).  Callers whose keyframe gap spans real rotation should seed
+    from the previous scan's keyframe-relative pose
+    (``inv(kf_pose) ∘ prev_pose``): with a 30-degree gap the identity seed
+    leaves trimmed ICP's basin (measured on the circle trajectory —
+    :class:`icp_tpu.slam.OnlineSlam` does exactly this).
 
     The single source of the streaming registration semantics — shared by
     :func:`stream_odometry` and the crash-resumable runner
     (:func:`icp_tpu.resilient.resumable_stream_odometry`), so the
     bit-identical-resume contract cannot drift.
     """
-    result, _ = fn(keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
+    if guess is None:
+        guess = geometry.identity(scan.dim, dtype=scan.dtype)
+    result, _ = fn(keyframe, scan, guess)
     # keyframe->scan registration transform T: pose advances by inv(T).
     pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
     delta_t = float(jnp.linalg.norm(pose.translation - kf_pose.translation))

@@ -1,0 +1,139 @@
+"""Online SLAM loop (`slam.OnlineSlam`): streaming odometry + periodic
+robust loop closure with live re-anchoring.
+
+Net-new production surface (the reference registers one pair per process);
+the offline pipeline is `slam.run_slam` — these tests pin that the online
+loop reaches comparable quality scan by scan, corrects the LIVE pose when a
+closure lands (not just the trajectory at shutdown), and survives an
+injected wrong closure through the robust kernel.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+import icp_tpu as icp
+from icp_tpu import geometry, slam
+
+
+def _circle_scans(rng, t_steps=49, radius=4.0, n_world=150, noise=0.02):
+    # 49 steps = 7.5 deg/scan: inside point-to-point ICP's basin (the
+    # OnlineSlam docstring's front-end limit; 15 deg/scan is not).
+    world = rng.uniform(-30, 30, (n_world, 2))
+    scans, gt = [], []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2
+        gt.append((px, py))
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        scans.append(
+            icp.from_points(pts + rng.normal(0, noise, pts.shape),
+                            capacity=152, dtype=np.float64)
+        )
+    return scans, np.asarray(gt)
+
+
+def _cfg():
+    return icp.DriverConfig(
+        max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+
+
+def test_online_slam_closes_loop_live(rng):
+    """Streaming around the circle: the revisit closure fires DURING the
+    stream and the live pose snaps back toward ground truth immediately."""
+    scans, gt = _circle_scans(rng)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, _cfg(),
+        translation_threshold=0.4, angle_threshold=0.15,
+        loop_every=4, loop_radius=1.5, loop_min_separation=10,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+    )
+    updates = [online.add_scan(s) for s in scans]
+    assert updates[0].is_keyframe
+    assert any(u.refined for u in updates)  # refinement ran mid-stream
+    assert updates[-1].num_closures >= 1
+
+    # The true trajectory returns to the origin (scan-0 frame): the LIVE
+    # end pose must be close after online closure (measured 0.005 m).
+    end_err = float(np.linalg.norm(np.asarray(updates[-1].pose.translation)))
+    assert end_err < 0.05, end_err
+
+
+def test_online_slam_reanchors_live_pose(rng):
+    """When a refinement corrects the current keyframe, the live pose moves
+    WITH it (pose = corrected_kf ∘ scan-relative offset)."""
+    scans, gt = _circle_scans(rng)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, _cfg(),
+        translation_threshold=0.4, angle_threshold=0.15,
+        loop_every=4, loop_radius=1.5, loop_min_separation=10,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+    )
+    prev_pose = None
+    for s in scans:
+        u = online.add_scan(s)
+        if u.refined and prev_pose is not None:
+            # The keyframe trajectory changed this step; the live pose is
+            # anchored to the refined keyframe, not the stale one.
+            kf = online.keyframe_poses
+            last_kf = geometry.RigidTransform(kf.rotation[-1], kf.translation[-1])
+            rel = geometry.compose(geometry.inverse(last_kf), u.pose)
+            # The scan-relative offset stays bounded by the keyframe gap.
+            assert float(jnp.linalg.norm(rel.translation)) < 1.0
+        prev_pose = u.pose
+
+
+def test_online_slam_rejects_injected_wrong_closure(rng):
+    """A wrong closure slipped into the accepted set (plausible cost, wrong
+    basin) is down-weighted by the robust solve: the online trajectory
+    stays near the clean run instead of bending to the bad edge."""
+    scans, gt = _circle_scans(rng)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+
+    def run(inject):
+        online = slam.OnlineSlam(
+            method, _cfg(),
+            translation_threshold=0.4, angle_threshold=0.15,
+            loop_every=4, loop_radius=1.5, loop_min_separation=10,
+            robust="gnc_gm", robust_scale="auto",
+            odometry_weight=100.0, loop_weight=100.0,
+        )
+        injected = False
+        for t, s in enumerate(scans):
+            u = online.add_scan(s)
+            if inject and not injected and len(online._kf_poses) >= 12:
+                # Fabricate a closure claiming keyframe 10 meets keyframe 1
+                # offset 1.5 m from the truth-consistent relative pose.
+                ps = online.keyframe_poses
+                a, b = 10, 1
+                rel = geometry.compose(
+                    geometry.inverse(
+                        geometry.RigidTransform(ps.rotation[a], ps.translation[a])
+                    ),
+                    geometry.RigidTransform(ps.rotation[b], ps.translation[b]),
+                )
+                online._loop_edges.append((a, b))
+                online._loop_meas.append(
+                    geometry.RigidTransform(
+                        rel.rotation, rel.translation + jnp.asarray([1.5, 0.0])
+                    )
+                )
+                injected = True
+        return online
+
+    clean = run(inject=False)
+    poisoned = run(inject=True)
+    t_clean = np.asarray(clean.keyframe_poses.translation)
+    t_bad = np.asarray(poisoned.keyframe_poses.translation)
+    n = min(len(t_clean), len(t_bad))
+    dev = float(np.max(np.linalg.norm(t_clean[:n] - t_bad[:n], axis=-1)))
+    assert dev < 0.3, dev  # the injected edge did not bend the trajectory
+    end_bad = float(np.linalg.norm(t_bad[-1]))
+    assert end_bad < 0.05, end_bad  # the loop still closes correctly
