@@ -170,6 +170,18 @@ class OnlineSlam:
                 self._kf_since_refine = 0
         return OnlineUpdate(self._pose, bool(is_kf), refined, len(self._loop_edges))
 
+    def finalize(self) -> bool:
+        """Flush: run one final closure search + robust solve over whatever
+        arrived since the last periodic refinement (revisits usually land in
+        the FINAL keyframes — a stream that ends between refine boundaries
+        would otherwise never register them).  Returns True if the solve
+        ran; the live pose is re-anchored like any other refinement."""
+        if len(self._kf_poses) < 2:
+            return False
+        refined = self._refine()
+        self._kf_since_refine = 0
+        return refined
+
     # -- internals ----------------------------------------------------------
 
     def _promote(self, scan: PointCloud, pose: RigidTransform) -> None:

@@ -137,3 +137,54 @@ def test_online_slam_rejects_injected_wrong_closure(rng):
     assert dev < 0.3, dev  # the injected edge did not bend the trajectory
     end_bad = float(np.linalg.norm(t_bad[-1]))
     assert end_bad < 0.05, end_bad  # the loop still closes correctly
+
+
+def test_online_slam_3d_seq3d():
+    """3D online SLAM end to end on the bundled seq3d sweeps: GICP keyframe
+    odometry streamed scan by scan, SE(3) robust closures at finalize()
+    (the revisit lands in the final keyframes, after the last periodic
+    refine boundary — the flush is what registers it).  Measured: keyframe
+    end error 0.158 m (raw) -> 0.002 m."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seq = os.path.join(repo, "ex_data", "seq3d")
+    paths = sorted(glob.glob(os.path.join(seq, "sweep_*.ply")))
+    clouds = [
+        icp.from_points(icp.read_ply(p), capacity="bucket", dtype=np.float32)
+        for p in paths
+    ]
+    cap = max(c.capacity for c in clouds)
+    clouds = [icp.pad_to(c, cap) for c in clouds]
+    with open(os.path.join(seq, "groundtruth.json")) as f:
+        gt = json.load(f)
+    rot = np.asarray(gt["rotations"])
+    tr = np.asarray(gt["translations"])
+    gt_t0 = np.einsum("ij,tj->ti", rot[0].T, tr - tr[0])
+
+    method = icp.from_method(
+        "gicp", 3, icp.Config(dim=3, neighbors=10, normal_neighbors=10)
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    online = slam.OnlineSlam(
+        method, cfg, translation_threshold=0.5, angle_threshold=0.2,
+        loop_every=8, loop_radius=2.0, loop_min_separation=50,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+    )
+    ups = [online.add_scan(s) for s in clouds]
+    assert len(ups) == len(clouds)
+    raw_end = float(
+        np.linalg.norm(np.asarray(online.keyframe_poses.translation[-1]) - gt_t0[-1])
+    )
+    assert online.finalize()  # the flush registers the end-of-loop revisit
+    assert len(online._loop_edges) >= 1
+    end_err = float(
+        np.linalg.norm(np.asarray(online.keyframe_poses.translation[-1]) - gt_t0[-1])
+    )
+    assert raw_end > 0.05  # real accumulated drift
+    assert end_err < 0.02, (raw_end, end_err)
