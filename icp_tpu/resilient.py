@@ -247,3 +247,41 @@ def _json_default(o):
 
 def format_status(checkpoint_dir: str) -> str:
     return json.dumps(job_status(checkpoint_dir), default=_json_default)
+
+
+def resumable_online_slam(
+    scans,
+    method,
+    config,
+    manager: CheckpointManager,
+    checkpoint_every: int = 5,
+    **online_kwargs,
+):
+    """Crash-resumable :class:`icp_tpu.slam.OnlineSlam`: yields one
+    :class:`icp_tpu.slam.OnlineUpdate` per scan, checkpointing the FULL
+    streaming state (keyframes, poses, immutable odometry measurements,
+    closures, candidate bookkeeping) every ``checkpoint_every`` scans.
+
+    A restarted process fast-forwards to the first unprocessed scan and
+    continues; the resumed keyframe trajectory is bit-identical to an
+    uninterrupted run (pinned by ``tests/test_resilient.py``).  Yields
+    ``(scan_index, online, update)`` — the OnlineSlam object is exposed so
+    the caller can ``online.finalize()`` after the iterable is exhausted
+    (and checkpoint the finalized state if desired).
+    """
+    from .slam import OnlineSlam
+
+    online = OnlineSlam(method, config, **online_kwargs)
+    start = 0
+    latest = manager.latest()
+    if latest is not None:
+        step, state = latest
+        online.load_state(state)
+        start = step
+    for t, scan in enumerate(scans):
+        if t < start:
+            continue  # fast-forward past checkpointed work
+        update = online.add_scan(scan)
+        if (t + 1) % checkpoint_every == 0:
+            manager.save(t + 1, online.state_dict())
+        yield t, online, update

@@ -170,6 +170,93 @@ class OnlineSlam:
                 self._kf_since_refine = 0
         return OnlineUpdate(self._pose, bool(is_kf), refined, len(self._loop_edges))
 
+    def state_dict(self) -> dict:
+        """Full streaming state as a flat dict of numpy arrays — the
+        checkpoint payload for crash-resumable online SLAM
+        (:func:`icp_tpu.resilient.resumable_online_slam`).  Restoring with
+        :meth:`load_state` reproduces the uninterrupted run bit-identically
+        (registration is deterministic; everything that affects future
+        steps round-trips: keyframe clouds/poses, immutable odometry
+        measurements, accepted closures, tried candidate pairs, the refine
+        counter and the cost history)."""
+        if not self._kf_clouds:
+            return {"num_keyframes": np.asarray(0)}
+        out = {
+            "num_keyframes": np.asarray(len(self._kf_clouds)),
+            "kf_points": np.stack([np.asarray(c.points) for c in self._kf_clouds]),
+            "kf_counts": np.asarray([np.asarray(c.count) for c in self._kf_clouds]),
+            "kf_rot": np.stack([np.asarray(p.rotation) for p in self._kf_poses]),
+            "kf_trans": np.stack(
+                [np.asarray(p.translation) for p in self._kf_poses]
+            ),
+            "pose_rot": np.asarray(self._pose.rotation),
+            "pose_trans": np.asarray(self._pose.translation),
+            "kf_since_refine": np.asarray(self._kf_since_refine),
+            "cost_hist": np.asarray(self._cost_hist, dtype=np.float64),
+            "tried_pairs": np.asarray(
+                sorted(self._tried_pairs), dtype=np.int64
+            ).reshape(-1, 2),
+            "loop_edges": np.asarray(self._loop_edges, dtype=np.int64).reshape(-1, 2),
+        }
+        if self._odo_meas:
+            out["odo_rot"] = np.stack([np.asarray(m.rotation) for m in self._odo_meas])
+            out["odo_trans"] = np.stack(
+                [np.asarray(m.translation) for m in self._odo_meas]
+            )
+        if self._loop_meas:
+            out["loop_rot"] = np.stack(
+                [np.asarray(m.rotation) for m in self._loop_meas]
+            )
+            out["loop_trans"] = np.stack(
+                [np.asarray(m.translation) for m in self._loop_meas]
+            )
+        return out
+
+    def load_state(self, state: dict) -> None:
+        """Restore :meth:`state_dict` output (see its bit-identity note)."""
+        k = int(state["num_keyframes"])
+        if k == 0:
+            return
+        dtype = state["kf_points"].dtype
+        self._kf_clouds = [
+            PointCloud(
+                jnp.asarray(state["kf_points"][i]),
+                jnp.asarray(state["kf_counts"][i]),
+            )
+            for i in range(k)
+        ]
+        self._kf_poses = [
+            RigidTransform(
+                jnp.asarray(state["kf_rot"][i]), jnp.asarray(state["kf_trans"][i])
+            )
+            for i in range(k)
+        ]
+        self._odo_meas = [
+            RigidTransform(
+                jnp.asarray(state["odo_rot"][i]), jnp.asarray(state["odo_trans"][i])
+            )
+            for i in range(k - 1)
+        ] if "odo_rot" in state else []
+        self._loop_edges = [
+            (int(i), int(j)) for i, j in np.asarray(state["loop_edges"])
+        ]
+        self._loop_meas = [
+            RigidTransform(
+                jnp.asarray(state["loop_rot"][i]), jnp.asarray(state["loop_trans"][i])
+            )
+            for i in range(len(self._loop_edges))
+        ] if "loop_rot" in state else []
+        self._tried_pairs = {
+            (int(i), int(j)) for i, j in np.asarray(state["tried_pairs"])
+        }
+        self._kf_since_refine = int(state["kf_since_refine"])
+        self._cost_hist = [float(c) for c in np.asarray(state["cost_hist"])]
+        self._cur_kf_pose = self._kf_poses[-1]
+        self._pose = RigidTransform(
+            jnp.asarray(state["pose_rot"]), jnp.asarray(state["pose_trans"])
+        )
+        del dtype
+
     def finalize(self) -> bool:
         """Flush: run one final closure search + robust solve over whatever
         arrived since the last periodic refinement (revisits usually land in

@@ -147,3 +147,69 @@ def test_supervisor_exhausts_budget(tmp_path):
     with pytest.raises(ValueError):
         run_with_retries(job, max_restarts=2)
     assert len(calls) == 3  # initial + 2 retries
+
+
+def test_resumable_online_slam_bit_identical(rng, tmp_path):
+    """Kill-anywhere restart of the online SLAM loop: resuming from the
+    latest checkpoint reproduces the uninterrupted run's keyframe
+    trajectory bit for bit (state_dict round-trips everything that affects
+    future steps, including closure bookkeeping and the cost history that
+    gates coarse retries)."""
+    import math
+
+    from icp_tpu import resilient, slam
+
+    world = rng.uniform(-25, 25, (140, 2))
+    scans = []
+    t_steps = 33
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = 4 * math.cos(phi), 4 * math.sin(phi), phi + math.pi / 2
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        scans.append(
+            icp.from_points(pts + rng.normal(0, 0.02, pts.shape),
+                            capacity=144, dtype=np.float64)
+        )
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cfg = icp.DriverConfig(
+        max_iterations=40, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    kwargs = dict(
+        translation_threshold=0.4, angle_threshold=0.15,
+        loop_every=4, loop_radius=1.5, loop_min_separation=10,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+    )
+
+    # Uninterrupted reference.
+    ref = slam.OnlineSlam(method, cfg, **kwargs)
+    for s in scans:
+        ref.add_scan(s)
+    ref.finalize()
+
+    # Interrupted run: process 17 scans, "crash", restart from checkpoints.
+    mgr = resilient.CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    it = resilient.resumable_online_slam(
+        scans, method, cfg, mgr, checkpoint_every=5, **kwargs
+    )
+    for t, online, _ in it:
+        if t == 16:
+            break  # crash mid-stream (after the t=14 checkpoint)
+    resumed = None
+    for t, online, _ in resilient.resumable_online_slam(
+        scans, method, cfg, mgr, checkpoint_every=5, **kwargs
+    ):
+        resumed = online
+    assert resumed is not None
+    resumed.finalize()
+
+    np.testing.assert_array_equal(
+        np.asarray(resumed.keyframe_poses.translation),
+        np.asarray(ref.keyframe_poses.translation),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.keyframe_poses.rotation),
+        np.asarray(ref.keyframe_poses.rotation),
+    )
+    assert resumed._loop_edges == ref._loop_edges
