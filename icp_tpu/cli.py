@@ -401,6 +401,57 @@ def cmd_odometry(args):
     method = _make_method(args.method, dim, _parse_config(args.config))
     cfg = _driver_config(args)
 
+    if args.online:
+        # Streaming mode: scan-by-scan OnlineSlam with periodic robust loop
+        # closure and live re-anchoring (slam.OnlineSlam); one JSON record
+        # per scan as it would arrive on a robot.
+        from .slam import OnlineSlam
+
+        if args.ply:
+            stream_clouds = clouds
+        else:
+            stream_clouds = [
+                icp.PointCloud(scans.points[t], scans.count[t])
+                for t in range(scans.points.shape[0])
+            ]
+        online = OnlineSlam(
+            method, cfg,
+            translation_threshold=args.keyframe_translation,
+            angle_threshold=args.keyframe_angle,
+            loop_every=args.loop_every,
+            loop_radius=args.loop_radius or 2.0,
+            loop_min_separation=args.loop_min_separation,
+            loop_max_cost=args.loop_max_cost,
+            loop_weight=args.loop_weight,
+            odometry_weight=args.odometry_weight,
+            robust=args.robust_kernel,
+            robust_scale=args.robust_scale,
+        )
+        for t, scan in enumerate(stream_clouds):
+            u = online.add_scan(scan)
+            print(json.dumps({
+                "scan": args.scans[t],
+                "rotation": np.asarray(u.pose.rotation).tolist(),
+                "translation": np.asarray(u.pose.translation).tolist(),
+                "keyframe": bool(u.is_keyframe),
+                "refined": bool(u.refined),
+                "closures": int(u.num_closures),
+            }))
+        flushed = online.finalize()
+        kf = online.keyframe_poses
+        print(
+            f"online slam: {len(np.asarray(kf.translation))} keyframes, "
+            f"{len(online._loop_edges)} closures"
+            + (" (finalize ran a refinement)" if flushed else ""),
+            file=sys.stderr,
+        )
+        if args.save:
+            from .checkpoint import save_pytree
+
+            save_pytree(args.save, {"rotation": kf.rotation, "translation": kf.translation})
+            print(f"saved keyframe trajectory to {args.save}", file=sys.stderr)
+        return
+
     wrap = None
     if getattr(args, "aot_cache", None) is not None:
         # AOT-cache the whole batched registration; pair-count bucketing
@@ -650,6 +701,18 @@ def main(argv=None):
         "closures (plausible ICP cost, wrong basin) by their graph "
         "inconsistency; gnc_gm = graduated non-convexity (recommended)",
     )
+    p_odo.add_argument(
+        "--online", action="store_true",
+        help="streaming mode: scan-by-scan OnlineSlam (periodic robust loop "
+        "closure, live re-anchoring) instead of the offline batch pipeline",
+    )
+    p_odo.add_argument("--loop-every", type=int, default=8,
+                       help="(--online) refine every N keyframes")
+    p_odo.add_argument("--keyframe-translation", type=float, default=0.5)
+    p_odo.add_argument("--keyframe-angle", type=float, default=0.1)
+    p_odo.add_argument("--odometry-weight", type=float, default=1.0,
+                       help="graph information weight of odometry edges "
+                       "(~1/sigma^2; raise it when the front-end tracks well)")
     p_odo.add_argument(
         "--robust-scale", default="auto",
         type=lambda s: s if s == "auto" else float(s),

@@ -196,3 +196,25 @@ def test_view_animate_html(capsys, tmp_path):
     assert "<html" in html.lower()
     pngs = [f for f in os.listdir(frames) if f.endswith(".png")]
     assert len(pngs) == 3
+
+
+def test_odometry_online_streaming(capsys):
+    """--online drives slam.OnlineSlam scan by scan: one JSON record per
+    scan with keyframe/refined/closures fields, plus the finalize summary."""
+    scans = [os.path.join(SEQ1, f"sweep_{k:03d}.conf") for k in range(12)]
+    cli.main([
+        "odometry", "--scans", *scans, "-m", "trimmed", "--online",
+        "--loop-radius", "2.5", "--loop-min-separation", "4",
+        "--loop-every", "4", "--keyframe-translation", "0.3",
+        "--odometry-weight", "100", "--loop-weight", "100",
+        "--max-iterations", "60",
+    ])
+    captured = capsys.readouterr()
+    recs = [json.loads(line) for line in captured.out.strip().splitlines()]
+    assert len(recs) == len(scans)
+    assert recs[0]["keyframe"] is True
+    assert all("closures" in r and "refined" in r for r in recs)
+    # Straight-line sweeps: the live pose advances ~0.4 m/scan along +x.
+    t_last = np.asarray(recs[-1]["translation"])
+    assert 3.0 < t_last[0] < 5.0 and abs(t_last[1]) < 0.5
+    assert "online slam:" in captured.err
