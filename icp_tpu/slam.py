@@ -1,9 +1,17 @@
-"""One-call offline SLAM pipeline.
+"""SLAM pipelines: one-call offline (:func:`run_slam`) and incremental
+online (:class:`OnlineSlam`).
 
-Packages the full back-end the CLI drives — coarse-seeded odometry →
-loop-closure detection → closure registration → pose-graph optimization —
-as a single library entry point, so programmatic users get the same
-pipeline as ``icp-tpu odometry --coarse --loop-radius ...`` in one call.
+Offline: the full back-end the CLI drives — coarse-seeded odometry →
+loop-closure detection → closure registration → robust pose-graph
+optimization — as a single library entry point
+(``icp-tpu odometry --coarse --loop-radius ... --robust-kernel gnc_gm``).
+
+Online: scans arrive one at a time; keyframe odometry streams on the
+jitted converge, closures register periodically, the robust graph solve
+re-anchors the LIVE pose mid-stream, and the whole streaming state
+checkpoints for bit-identical crash resume
+(:func:`icp_tpu.resilient.resumable_online_slam`;
+``icp-tpu odometry --online``).
 """
 
 from __future__ import annotations
