@@ -225,7 +225,6 @@ class OnlineSlam:
         k = int(state["num_keyframes"])
         if k == 0:
             return
-        dtype = state["kf_points"].dtype
         self._kf_clouds = [
             PointCloud(
                 jnp.asarray(state["kf_points"][i]),
@@ -263,7 +262,6 @@ class OnlineSlam:
         self._pose = RigidTransform(
             jnp.asarray(state["pose_rot"]), jnp.asarray(state["pose_trans"])
         )
-        del dtype
 
     def finalize(self) -> bool:
         """Flush: run one final closure search + robust solve over whatever
@@ -298,8 +296,6 @@ class OnlineSlam:
 
     def _refine(self) -> bool:
         """Detect + register new closures, robust-solve, re-anchor."""
-        import numpy as np
-
         from .cloud import bucket_capacity
 
         poses = self.keyframe_poses
