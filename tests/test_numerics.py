@@ -96,3 +96,74 @@ def test_gradients_finite_through_registration_step(rng):
 
     g = jax.grad(loss)(jnp.zeros(2, dtype=jnp.float64))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_voxel_device_jit_vs_eager(rng):
+    """Device voxel filter: jit == eager bitwise (sanitizer analogue for
+    the round-3 map-maintenance op)."""
+    from icp_tpu import mapping
+
+    pts = jnp.asarray(rng.uniform(-8, 8, (256, 3)))
+    mask = jnp.asarray(rng.random(256) > 0.2)
+    eager_pts, eager_k = mapping.voxel_downsample_device(pts, mask, 0.5, 256)
+    jit_pts, jit_k = jax.jit(
+        lambda p, m: mapping.voxel_downsample_device(p, m, 0.5, 256)
+    )(pts, mask)
+    assert int(eager_k) == int(jit_k)
+    np.testing.assert_array_equal(np.asarray(eager_pts), np.asarray(jit_pts))
+
+
+def test_robust_optimize_finite_at_extreme_scales(rng):
+    """The robust solve must stay finite at pathological scales (tiny c ->
+    every robust edge rejected; huge c -> quadratic) and with zero-weight
+    padded edges in the graph."""
+    from icp_tpu import geometry, lie, pose_graph
+
+    twists = rng.uniform(-0.2, 0.2, (6, 3))
+    gt = [geometry.RigidTransform(jnp.eye(2), jnp.zeros(2))]
+    for k in range(6):
+        gt.append(geometry.compose(gt[-1], lie.se2_exp(jnp.asarray(twists[k]))))
+    poses0 = geometry.RigidTransform(
+        jnp.stack([p.rotation for p in gt]), jnp.stack([p.translation for p in gt])
+    )
+    meas = lie.se2_exp(jnp.asarray(twists + rng.normal(0, 0.02, twists.shape)))
+    rel = geometry.compose(geometry.inverse(gt[0]), gt[6])
+    graph = pose_graph.graph_from_trajectory(
+        poses0, meas,
+        loop_edges=jnp.asarray([[0, 6]], dtype=jnp.int32),
+        loop_measurements=geometry.RigidTransform(
+            rel.rotation[None], rel.translation[None]
+        ),
+    )
+    graph = pose_graph.pad_edges(graph, 16)  # zero-weight padding present
+    for kernel in ("gnc_gm", "cauchy", "welsch", "huber"):
+        for scale in (1e-6, 1e6):
+            opt, costs = pose_graph.optimize(
+                graph, iterations=6, solver="pcg", cg_iterations=30,
+                robust=kernel, robust_scale=scale,
+            )
+            assert bool(jnp.isfinite(opt.poses.translation).all()), (kernel, scale)
+            assert bool(jnp.isfinite(costs).all()), (kernel, scale)
+    # Auto scale through the same padded graph.
+    opt, costs = pose_graph.optimize(
+        graph, iterations=6, solver="pcg", cg_iterations=30,
+        robust="gnc_gm", robust_scale="auto",
+    )
+    assert bool(jnp.isfinite(costs).all())
+
+
+def test_robust_optimize_single_edge_graph(rng):
+    """Degenerate topology: a two-node, one-edge graph solves cleanly under
+    every kernel (median/max reductions over one element; the GNC schedule
+    with max rn2 possibly 0)."""
+    from icp_tpu import geometry, lie, pose_graph
+
+    meas = lie.se2_exp(jnp.asarray(rng.uniform(-0.2, 0.2, (1, 3))))
+    poses0 = geometry.identity(2, (2,), dtype=jnp.float64)
+    graph = pose_graph.graph_from_trajectory(poses0, meas)
+    for kernel in ("none", "gnc_gm", "cauchy"):
+        opt, costs = pose_graph.optimize(
+            graph, iterations=4, solver="dense", robust=kernel,
+            robust_scale="auto" if kernel != "none" else 1.0,
+        )
+        assert bool(jnp.isfinite(opt.poses.translation).all()), kernel
