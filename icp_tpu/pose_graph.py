@@ -52,12 +52,25 @@ class PoseGraph:
     ``edges_ij (E, 2)`` int32 node indices; ``measurements`` the measured
     ``Z_e`` = frame-i-relative pose of frame j; ``weights (E,)`` scalar
     information weights.
+
+    ``sqrt_information`` (optional, ``(E, dof, dof)``): per-edge matrix
+    whitener ``L^T`` with ``info = L L^T``
+    (:func:`icp_tpu.ops.covariance.sqrt_information`) — anisotropic edge
+    trust, e.g. a corridor-to-corridor closure that pins the lateral offset
+    but barely constrains the along-corridor translation (the aperture
+    problem, ``docs/datasets.md``).  Residuals become
+    ``sqrt(w_e) · L_e^T · log(...)``; ``None`` (the default) keeps the
+    scalar path bit-identical to before the field existed.  With matrix
+    whitening active on an edge, the robust kernels' "geometric" norm for
+    that edge is the information-whitened norm divided by ``sqrt(w_e)`` —
+    pick ``robust_scale`` (or use ``'auto'``) in those units.
     """
 
     poses: RigidTransform  # (T, D, D) / (T, D)
     edges_ij: Array  # (E, 2) int32
     measurements: RigidTransform  # (E, D, D) / (E, D)
     weights: Array  # (E,)
+    sqrt_information: Array | None = None  # (E, dof, dof) or None
 
     @property
     def num_nodes(self) -> int:
@@ -81,6 +94,10 @@ def edge_residuals(graph: PoseGraph, poses: RigidTransform) -> Array:
     rel = geometry.compose(geometry.inverse(xi), xj)
     err = geometry.compose(geometry.inverse(graph.measurements), rel)
     r = lie.log(err)
+    if graph.sqrt_information is not None:
+        r = jnp.einsum(
+            "eij,ej->ei", graph.sqrt_information, r, precision=geometry.HIGHEST
+        )
     return r * jnp.sqrt(graph.weights)[..., None]
 
 
@@ -116,18 +133,21 @@ def _edge_linearization(
     j = graph.edges_ij[:, 1]
     sqw = jnp.sqrt(graph.weights)
 
-    def one(rot_i, tr_i, rot_j, tr_j, rot_z, tr_z, w):
+    def one(rot_i, tr_i, rot_j, tr_j, rot_z, tr_z, w, lt):
         def res(dd):
             xi = geometry.compose(RigidTransform(rot_i, tr_i), lie.exp(dd[:d], dim))
             xj = geometry.compose(RigidTransform(rot_j, tr_j), lie.exp(dd[d:], dim))
             rel = geometry.compose(geometry.inverse(xi), xj)
             err = geometry.compose(geometry.inverse(RigidTransform(rot_z, tr_z)), rel)
-            return lie.log(err) * w
+            r0 = lie.log(err)
+            if lt is not None:
+                r0 = jnp.einsum("ij,j->i", lt, r0, precision=geometry.HIGHEST)
+            return r0 * w
 
         zero = jnp.zeros((2 * d,), dtype=tr_i.dtype)
         return res(zero), jax.jacfwd(res)(zero)
 
-    r, jac = jax.vmap(one)(
+    operands = (
         poses.rotation[i],
         poses.translation[i],
         poses.rotation[j],
@@ -136,6 +156,10 @@ def _edge_linearization(
         graph.measurements.translation,
         sqw,
     )
+    if graph.sqrt_information is None:
+        r, jac = jax.vmap(lambda *a: one(*a, None))(*operands)
+    else:
+        r, jac = jax.vmap(one)(*operands, graph.sqrt_information)
     return r, jac[..., :d], jac[..., d:]
 
 
@@ -689,6 +713,16 @@ def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
     dim = graph.dim
     dtype = graph.poses.dtype
     eye = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (pad, dim, dim))
+    sqrt_info = graph.sqrt_information
+    if sqrt_info is not None:
+        d = lie.dof(dim)
+        sqrt_info = jnp.concatenate(
+            [
+                sqrt_info,
+                jnp.broadcast_to(jnp.eye(d, dtype=dtype), (pad, d, d)),
+            ],
+            axis=0,
+        )
     return dataclasses.replace(
         graph,
         edges_ij=jnp.concatenate(
@@ -702,6 +736,7 @@ def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
             ),
         ),
         weights=jnp.concatenate([graph.weights, jnp.zeros((pad,), dtype=dtype)]),
+        sqrt_information=sqrt_info,
     )
 
 
@@ -733,6 +768,11 @@ def shard_over_edges(graph: PoseGraph, mesh, axis: str = "data") -> PoseGraph:
             jax.device_put(graph.measurements.translation, edge2),
         ),
         weights=jax.device_put(graph.weights, edge),
+        sqrt_information=(
+            None
+            if graph.sqrt_information is None
+            else jax.device_put(graph.sqrt_information, edge3)
+        ),
     )
 
 
@@ -807,11 +847,20 @@ def graph_from_trajectory(
     loop_measurements: RigidTransform | None = None,
     odometry_weight: float = 1.0,
     loop_weight: float = 1.0,
+    loop_information: Array | None = None,
 ) -> PoseGraph:
     """Assemble a graph: consecutive odometry edges + optional loop closures.
 
     ``odometry_measurements`` are frame-t-relative poses of frame t+1
     (length T-1); loop edges/measurements likewise frame-i-relative of j.
+
+    ``loop_information`` (``(K, dof, dof)``, optional): per-closure
+    information matrices — e.g. the registration-geometry estimate
+    :func:`icp_tpu.ops.covariance.point_to_point_information` — whitened
+    into the residuals via their Cholesky factors; odometry edges get
+    identity blocks (their scalar ``odometry_weight`` still applies).
+    Normalize the matrices to a unit-ish scale (e.g. divide by the point
+    count) so ``loop_weight`` keeps its meaning as the overall trust knob.
     """
     t = poses.translation.shape[0]
     dtype = poses.dtype
@@ -821,6 +870,7 @@ def graph_from_trajectory(
     )
     meas = odometry_measurements
     weights = jnp.full((t - 1,), odometry_weight, dtype=dtype)
+    sqrt_info = None
     if loop_edges is not None and loop_edges.shape[0] > 0:
         ij = jnp.concatenate([ij, loop_edges.astype(jnp.int32)], axis=0)
         meas = RigidTransform(
@@ -830,4 +880,15 @@ def graph_from_trajectory(
         weights = jnp.concatenate(
             [weights, jnp.full((loop_edges.shape[0],), loop_weight, dtype=dtype)]
         )
-    return PoseGraph(poses=poses, edges_ij=ij, measurements=meas, weights=weights)
+        if loop_information is not None:
+            from .ops.covariance import sqrt_information
+
+            d = lie.dof(poses.dim)
+            eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (t - 1, d, d))
+            sqrt_info = jnp.concatenate(
+                [eye, sqrt_information(loop_information).astype(dtype)], axis=0
+            )
+    return PoseGraph(
+        poses=poses, edges_ij=ij, measurements=meas, weights=weights,
+        sqrt_information=sqrt_info,
+    )

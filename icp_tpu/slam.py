@@ -398,6 +398,8 @@ def run_slam(
     gn_solver: str = "dense",
     robust: str = "none",
     robust_scale: float | str = "auto",
+    closure_information: bool = False,
+    information_neighbors: int = 10,
 ) -> SlamResult:
     """Odometry + (optional) loop closure + pose-graph refinement.
 
@@ -414,6 +416,13 @@ def run_slam(
     ``SlamResult.edge_weights``.  ``gn_iterations`` defaults to 10 for the
     plain solve and 30 for robust kernels (the GNC anneal + post-rejection
     relaxation need the budget; see optimize's docstring).
+
+    ``closure_information=True`` attaches an anisotropic information matrix
+    to every accepted closure, estimated from the TARGET scan's surface
+    geometry (:func:`icp_tpu.ops.covariance.cloud_information` — the
+    normal-projected Censi form): a corridor-to-corridor closure then pins
+    the lateral direction without asserting the along-corridor translation
+    it cannot actually see.
     """
     if gn_iterations is None:
         gn_iterations = 10 if robust == "none" else 30
@@ -444,12 +453,20 @@ def run_slam(
             graph_costs=jnp.zeros((0,)),
         )
 
+    loop_info = None
+    if closure_information and loop_edges.shape[0] > 0:
+        from .ops.covariance import cloud_information
+
+        tgt_idx = jnp.asarray(loop_edges)[:, 0]
+        tgt_scans = PointCloud(scans.points[tgt_idx], scans.count[tgt_idx])
+        loop_info = cloud_information(tgt_scans, k=information_neighbors)
     graph = pose_graph.graph_from_trajectory(
         traj.poses,
         geometry.inverse(traj.relative),
         loop_edges=loop_edges,
         loop_measurements=loop_meas,
         loop_weight=loop_weight,
+        loop_information=loop_info,
     )
     # Robustify ONLY the loop-closure edges (the last K): odometry edges are
     # sequential scan matches — they can be noisy but not wrong associations
