@@ -89,6 +89,8 @@ class OnlineSlam:
         robust_scale: float | str = "auto",
         gn_iterations: int | None = None,
         gn_solver: str = "dense",
+        closure_information: bool = False,
+        information_neighbors: int = 10,
     ):
         from .driver import make_converge_fn
 
@@ -108,6 +110,8 @@ class OnlineSlam:
         self._robust_scale = robust_scale
         self._gn_iterations = gn_iterations or (30 if robust != "none" else 10)
         self._gn_solver = gn_solver
+        self._closure_information = closure_information
+        self._information_neighbors = information_neighbors
 
         self._kf_clouds: list[PointCloud] = []
         self._kf_poses: list[RigidTransform] = []
@@ -338,6 +342,17 @@ class OnlineSlam:
         if not self._loop_edges:
             return False
 
+        loop_info = None
+        if self._closure_information:
+            from .ops.covariance import cloud_information
+
+            # Information from each closure's TARGET keyframe geometry.
+            targets = [self._kf_clouds[a] for a, _ in self._loop_edges]
+            tgt = PointCloud(
+                jnp.stack([c.points for c in targets]),
+                jnp.stack([c.count for c in targets]),
+            )
+            loop_info = cloud_information(tgt, k=self._information_neighbors)
         graph = pose_graph.graph_from_trajectory(
             poses,
             RigidTransform(
@@ -351,6 +366,7 @@ class OnlineSlam:
             ),
             odometry_weight=self._odometry_weight,
             loop_weight=self._loop_weight,
+            loop_information=loop_info,
         )
         mask = jnp.arange(graph.num_edges) >= k - 1
         graph, _ = pose_graph.optimize(

@@ -188,3 +188,26 @@ def test_online_slam_3d_seq3d():
     )
     assert raw_end > 0.05  # real accumulated drift
     assert end_err < 0.02, (raw_end, end_err)
+
+
+def test_online_slam_closure_information(rng):
+    """closure_information=True composes with the online loop: the circle
+    stream still closes with anisotropic closure edges."""
+    scans, gt = _circle_scans(rng)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, _cfg(),
+        translation_threshold=0.4, angle_threshold=0.15,
+        loop_every=4, loop_radius=1.5, loop_min_separation=10,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+        closure_information=True,
+    )
+    updates = [online.add_scan(s) for s in scans]
+    online.finalize()
+    assert len(online._loop_edges) >= 1
+    end_err = float(
+        np.linalg.norm(np.asarray(online.keyframe_poses.translation[-1]))
+    )
+    assert end_err < 0.1, end_err
+    assert len(updates) == len(scans)
