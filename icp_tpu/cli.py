@@ -426,6 +426,7 @@ def cmd_odometry(args):
             odometry_weight=args.odometry_weight,
             robust=args.robust_kernel,
             robust_scale=args.robust_scale,
+            closure_information=args.closure_information,
         )
         for t, scan in enumerate(stream_clouds):
             u = online.add_scan(scan)
@@ -486,6 +487,15 @@ def cmd_odometry(args):
                     f"(costs {np.round(np.asarray(lc_costs), 4).tolist()})",
                     file=sys.stderr,
                 )
+        loop_info = None
+        if args.closure_information and loop_edges is not None:
+            from .ops.covariance import cloud_information
+
+            tgt_idx = np.asarray(loop_edges)[:, 0]
+            tgt_scans = icp.PointCloud(
+                scans.points[tgt_idx], scans.count[tgt_idx]
+            )
+            loop_info = cloud_information(tgt_scans)
         # Edge measurements are frame-t-relative poses of frame t+1 — the
         # INVERSE of the registration transform (see odometry.compose_chain).
         graph = pose_graph.graph_from_trajectory(
@@ -494,6 +504,7 @@ def cmd_odometry(args):
             loop_edges=loop_edges,
             loop_measurements=loop_meas,
             loop_weight=args.loop_weight,
+            loop_information=loop_info,
         )
         # Robust kernels act on loop-closure edges only (see
         # pose_graph.optimize: a redescending kernel on odometry edges can
@@ -713,6 +724,12 @@ def main(argv=None):
     p_odo.add_argument("--odometry-weight", type=float, default=1.0,
                        help="graph information weight of odometry edges "
                        "(~1/sigma^2; raise it when the front-end tracks well)")
+    p_odo.add_argument(
+        "--closure-information", action="store_true",
+        help="anisotropic closure edges: per-closure information matrices "
+        "from the target scan's surface geometry (Censi form) — a corridor "
+        "closure then pins only the directions it can actually see",
+    )
     p_odo.add_argument(
         "--robust-scale", default="auto",
         type=lambda s: s if s == "auto" else float(s),
