@@ -824,6 +824,51 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Preflight: fail fast (with a parseable line) if the backend never
+    # comes up — a dead remote tunnel otherwise hangs jax.devices()
+    # indefinitely at device init (observed 2026-08-18: >45 min with an
+    # established TCP connection and no response), which is
+    # indistinguishable from a long compile to any outer timeout.
+    import threading
+
+    ready = threading.Event()
+    state: dict = {}
+
+    def _probe():
+        try:
+            state["devices"] = jax.devices()
+            ready.set()
+        except Exception as e:  # noqa: BLE001
+            state["error"] = repr(e)
+            ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(timeout=float(os.environ.get("BENCH_INIT_TIMEOUT", "300"))):
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_backend_unavailable",
+                    "value": 0,
+                    "unit": "backend init timed out; remote tunnel down?",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        os._exit(2)
+    if "error" in state:
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_backend_unavailable",
+                    "value": 0,
+                    "unit": f"backend init failed: {state['error'][:200]}",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        os._exit(2)
+    _progress(f"backend ready: {state['devices']}")
+
     import jax.numpy as jnp
 
     import icp_tpu as icp
