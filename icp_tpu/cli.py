@@ -569,6 +569,63 @@ def cmd_odometry(args):
         print(f"saved trajectory to {args.save}", file=sys.stderr)
 
 
+def cmd_graph(args):
+    """Standalone pose-graph optimizer over g2o files (the framework's
+    analogue of the ``g2o`` command-line binary): load, robust-solve on the
+    accelerator, report chi^2, write back."""
+    import numpy as np
+
+    from . import pose_graph
+    from .io import read_g2o, write_g2o, write_tum
+
+    graph = read_g2o(args.input)
+    print(
+        f"loaded {graph.num_nodes} vertices, {graph.num_edges} edges "
+        f"({'matrix' if graph.sqrt_information is not None else 'scalar'} "
+        "information)",
+        file=sys.stderr,
+    )
+    robust_mask = None
+    robust_scale = args.robust_scale
+    if args.robust_kernel != "none" and args.robust_min_separation > 0:
+        import jax.numpy as jnp
+
+        ij = np.asarray(graph.edges_ij)
+        robust_mask = jnp.asarray(
+            (ij[:, 1] - ij[:, 0] < 0)
+            | (np.abs(ij[:, 1] - ij[:, 0]) >= args.robust_min_separation)
+        )
+        if isinstance(robust_scale, str):  # 'auto'
+            robust_scale = pose_graph.auto_robust_scale(
+                graph, iterations=args.iterations, solver=args.solver,
+                robust_edges=robust_mask,
+            )
+            print(f"robust scale (auto): {float(robust_scale):.4g}", file=sys.stderr)
+    opt, costs = pose_graph.optimize(
+        graph, iterations=args.iterations, solver=args.solver,
+        cg_iterations=args.cg_iterations,
+        robust=args.robust_kernel, robust_scale=robust_scale,
+        robust_edges=robust_mask,
+    )
+    print(
+        f"chi2: {float(costs[0]):.6g} -> {float(costs[-1]):.6g} "
+        f"({args.iterations} GN iterations, solver {args.solver})",
+        file=sys.stderr,
+    )
+    if args.output:
+        write_g2o(args.output, opt)
+        print(f"wrote {args.output}", file=sys.stderr)
+    if args.tum:
+        write_tum(args.tum, opt.poses)
+        print(f"wrote {args.tum}", file=sys.stderr)
+    print(json.dumps({
+        "vertices": graph.num_nodes,
+        "edges": graph.num_edges,
+        "chi2_initial": float(costs[0]),
+        "chi2_final": float(costs[-1]),
+    }))
+
+
 def cmd_methods(args):
     from .methods import registered_methods
 
@@ -760,6 +817,31 @@ def main(argv=None):
     )
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)
+
+    p_g = sub.add_parser(
+        "graph", help="optimize a g2o pose graph (robust kernels, PCG)"
+    )
+    p_g.add_argument("input", help="input .g2o file (SE2 or SE3:QUAT)")
+    p_g.add_argument("-o", "--output", help="write the optimized graph (.g2o)")
+    p_g.add_argument("--tum", help="also write the optimized trajectory (TUM)")
+    p_g.add_argument("--iterations", type=int, default=30)
+    p_g.add_argument("--solver", default="auto",
+                     choices=["auto", "dense", "cg", "pcg"])
+    p_g.add_argument("--cg-iterations", type=int, default=50)
+    p_g.add_argument(
+        "--robust-kernel", default="none",
+        choices=["none", "huber", "cauchy", "welsch", "gnc_gm"],
+    )
+    p_g.add_argument(
+        "--robust-scale", default="auto",
+        type=lambda s: s if s == "auto" else float(s),
+    )
+    p_g.add_argument(
+        "--robust-min-separation", type=int, default=2,
+        help="edges spanning fewer than this many ids stay quadratic "
+        "(odometry-like); the kernel acts on the rest (loop-like)",
+    )
+    p_g.set_defaults(fn=cmd_graph)
 
     p_m = sub.add_parser("methods", help="list registered methods")
     p_m.set_defaults(fn=cmd_methods)

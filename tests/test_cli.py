@@ -218,3 +218,31 @@ def test_odometry_online_streaming(capsys):
     t_last = np.asarray(recs[-1]["translation"])
     assert 3.0 < t_last[0] < 5.0 and abs(t_last[1]) < 0.5
     assert "online slam:" in captured.err
+
+
+def test_graph_subcommand_optimizes_g2o(capsys, tmp_path):
+    """icp-tpu graph: load a g2o file, robust-solve, write g2o + TUM — the
+    framework's analogue of the g2o binary."""
+    from icp_tpu.io import read_g2o, write_g2o
+    from tests.test_robust_posegraph import _square_loop_graph
+
+    rng = np.random.default_rng(7)
+    graph, _, _, _ = _square_loop_graph(rng, t_steps=17)
+    src_path = str(tmp_path / "in.g2o")
+    out_path = str(tmp_path / "out.g2o")
+    tum_path = str(tmp_path / "out.tum")
+    write_g2o(src_path, graph)
+
+    cli.main([
+        "graph", src_path, "-o", out_path, "--tum", tum_path,
+        "--robust-kernel", "gnc_gm", "--iterations", "30",
+    ])
+    captured = capsys.readouterr()
+    rec = json.loads(captured.out.strip().splitlines()[-1])
+    assert rec["vertices"] == 17 and rec["edges"] == 18
+    assert rec["chi2_final"] < 0.1 * rec["chi2_initial"]
+    assert "robust scale (auto):" in captured.err
+    opt = read_g2o(out_path)
+    assert opt.num_nodes == 17
+    assert os.path.exists(tum_path)
+    assert len(open(tum_path).read().strip().splitlines()) == 17
