@@ -14,6 +14,10 @@ Replaces the reference's two executables with one CLI:
                  mode (net-new).
 * ``methods``  — list the registry (printed by the reference on an unknown
                  method, ``vis/main.cpp:133-139``).
+* ``odometry`` — batch or ``--online`` trajectory estimation with loop
+                 closure + robust pose-graph refinement (net-new).
+* ``graph``    — standalone g2o pose-graph optimizer (net-new; the
+                 framework's analogue of the ``g2o`` binary).
 """
 
 from __future__ import annotations
