@@ -532,7 +532,8 @@ def optimize(
     else:
         mus = jnp.ones((iterations,), dtype=dtype)
 
-    def gn_step(poses, mu):
+    def gn_step(carry, mu):
+        poses, lm_damping = carry
         g = dataclasses.replace(graph, poses=poses)
 
         def res(delta_flat):
@@ -553,7 +554,7 @@ def optimize(
                 g.edges_ij[:, 0],
                 g.edges_ij[:, 1],
                 graph.num_nodes,
-                damping,
+                lm_damping,
                 cg_iterations,
             ).reshape(-1)
         elif solver in ("dense", "cg"):
@@ -574,14 +575,14 @@ def optimize(
                 jac = jax.jacfwd(wres)(zero)  # (E*dof, n_var)
                 jtj = jnp.matmul(jac.T, jac, precision=geometry.HIGHEST)
                 jtr = jnp.matmul(jac.T, wr0, precision=geometry.HIGHEST)
-                jtj = jtj + damping * jnp.eye(n_var, dtype=poses.dtype)
+                jtj = jtj + lm_damping * jnp.eye(n_var, dtype=poses.dtype)
                 delta = -jnp.linalg.solve(jtj, jtr)
             else:
                 _, vjp = jax.vjp(wres, zero)
 
                 def jtjv(v):
                     jv = jax.jvp(wres, (zero,), (v,))[1]
-                    return vjp(jv)[0] + damping * v
+                    return vjp(jv)[0] + lm_damping * v
 
                 jtr = vjp(wr0)[0]
                 delta, _ = jax.scipy.sparse.linalg.cg(
@@ -592,6 +593,7 @@ def optimize(
 
         delta = delta.reshape(graph.num_nodes, d).at[0].set(0.0)
         new_poses = _retract(poses, delta, dim)
+        new_damping = lm_damping
         if robust != "none":
             # Monotone-descent guard (majorization-minimization): the IRLS
             # weights majorize the robust cost, so any step that INCREASES
@@ -602,6 +604,11 @@ def optimize(
             # measured on the circle scenario, the cascade climbed from
             # robust cost 0.37 to a 3.2 local minimum that cut the one true
             # revisit closure.  Monotone descent provably cannot reach it.
+            # A rejected step also RAISES the Levenberg damping 8x (and an
+            # accepted one relaxes it 2x toward the configured floor), so
+            # the next iteration takes a shorter, more-gradient-like step
+            # instead of re-proposing the same rejected one — the classic
+            # LM trust-region dynamic, but branch-free in the scan carry.
             # (L2 keeps the unguarded classic GN behavior bit-for-bit.)
             rn2_new = _geometric_rn2(graph, new_poses)
             new_cost = jnp.sum(graph.weights * rho_of(rn2_new, mu))
@@ -609,9 +616,15 @@ def optimize(
             new_poses = jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), new_poses, poses
             )
-        return new_poses, cost
+            new_damping = jnp.where(
+                accept,
+                jnp.maximum(lm_damping * 0.5, damping),
+                jnp.minimum(lm_damping * 8.0, 1e3),
+            )
+        return (new_poses, new_damping), cost
 
-    poses, costs = jax.lax.scan(gn_step, graph.poses, mus)
+    init_carry = (graph.poses, jnp.asarray(damping, dtype=dtype))
+    (poses, _), costs = jax.lax.scan(gn_step, init_carry, mus)
     # costs[k] is evaluated BEFORE step k; append the post-final-step cost so
     # costs has length iterations+1 and costs[-1] reflects the returned poses.
     rn2_final = _geometric_rn2(dataclasses.replace(graph, poses=poses), poses)
