@@ -902,8 +902,20 @@ def main():
                 _progress(f"{step.__name__} failed: {type(e).__name__}: {e}")
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "bench_results.json"), "w") as f:
+    # The artifact is the REAL-CHIP record that README/BASELINE quote
+    # (scripts/sync_bench_docs.py): never clobber it from a --quick or
+    # CPU-backend run (that exact accident broke the docs-sync gate once —
+    # caught by tests/test_utils.py::test_bench_docs_in_sync_with_artifact).
+    import jax as _jax
+
+    on_accel = _jax.devices()[0].platform != "cpu"
+    artifact = "bench_results.json" if (on_accel and not quick) else "bench_results_partial.json"
+    with open(os.path.join(repo, artifact), "w") as f:
         json.dump(metrics, f, indent=1)
+    if artifact != "bench_results.json":
+        _progress(
+            f"partial/CPU run: wrote {artifact} (bench_results.json untouched)"
+        )
     final = dict(headline)
     if len(metrics) > 1:
         final["extra_metrics"] = [m for m in metrics if m is not headline]

@@ -14,6 +14,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Hosted images may pin another platform in sitecustomize; honor the env.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import icp_tpu as icp
