@@ -1,0 +1,82 @@
+"""Bundled Manhattan-world pose-graph benchmark (`ex_data/manhattan`).
+
+The classic SLAM back-end workload shape (g2o M3500 family), bundled as
+standard g2o text: pins the g2o reader on a real-sized file, the pcg
+solver's convergence on a 600-vertex / 1210-edge graph with honest
+information matrices, and generator determinism.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from icp_tpu import pose_graph
+from icp_tpu.io import read_g2o
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(REPO, "ex_data", "manhattan", "m600.g2o")
+
+
+def test_loads_and_solves():
+    graph = read_g2o(PATH)
+    assert graph.num_nodes == 600
+    assert graph.num_edges == 1210
+    assert graph.sqrt_information is not None  # per-edge info matrices
+
+    opt, costs = pose_graph.optimize(
+        graph, iterations=30, solver="pcg", cg_iterations=50
+    )
+    chi2_0, chi2_n = float(costs[0]), float(costs[-1])
+    assert chi2_n < 1e-3 * chi2_0, (chi2_0, chi2_n)
+    # Statistically consistent residual: E[chi2] ~ sum of edge dof (the
+    # measurement noise matches the information matrices by construction).
+    assert chi2_n < 3 * 3 * graph.num_edges
+    assert np.all(np.isfinite(np.asarray(opt.poses.translation)))
+    # The trajectory stays inside the generator's Manhattan block.
+    assert np.abs(np.asarray(opt.poses.translation)).max() < 20
+
+
+def test_robust_solve_agrees_with_l2_on_clean_graph():
+    """No outliers in the bundled graph: the GNC solve stays near the L2
+    solution.  With matrix information present, the kernel's units are
+    info-whitened residual norms (sqrt-chi2; documented in PoseGraph), so
+    statistically marginal closures may soften slightly — the contract is
+    bounded deviation and an equally consistent chi2, not bitwise
+    agreement."""
+    graph = read_g2o(PATH)
+    n_odo = 599
+    import jax.numpy as jnp
+
+    mask = jnp.arange(graph.num_edges) >= n_odo
+    l2, costs_l2 = pose_graph.optimize(graph, iterations=20, solver="pcg")
+    gnc, costs_g = pose_graph.optimize(
+        graph, iterations=30, solver="pcg",
+        robust="gnc_gm", robust_scale="auto", robust_edges=mask,
+    )
+    dev = np.linalg.norm(
+        np.asarray(l2.poses.translation) - np.asarray(gnc.poses.translation),
+        axis=-1,
+    )
+    assert float(dev.max()) < 0.5, float(dev.max())  # ~4% of the world size
+    # L2 chi2 of the GNC solution is statistically consistent too.
+    r = np.asarray(pose_graph.edge_residuals(gnc, gnc.poses))
+    chi2 = float(np.sum(r * r))
+    assert chi2 < 3 * 3 * graph.num_edges, chi2
+
+
+def test_generator_reproduces_committed_file(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_manhattan_g2o.py"),
+            "--out",
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert open(PATH).read() == open(tmp_path / "m600.g2o").read()
