@@ -5,13 +5,15 @@ Registered methods mirror ``lib/icp/icp.cpp:16-27``:
   3D: ``vanilla``, ``trimmed``
 plus net-new families (beyond the reference): ``point_to_plane`` (2D/3D),
 ``robust`` (Welsch-weighted IRLS, 2D/3D), ``gicp`` (Generalized-ICP
-plane-to-plane, 2D/3D), and ``symmetric`` (Rusinkiewicz symmetric
-objective, 2D/3D).
+plane-to-plane, 2D/3D), ``symmetric`` (Rusinkiewicz symmetric
+objective, 2D/3D), and ``ndt`` (Normal Distributions Transform
+voxel-Gaussian matching, 2D/3D).
 """
 
 from . import (
     feature_aware,
     gicp,
+    ndt,
     point_to_plane,
     robust,
     symmetric,
@@ -43,6 +45,8 @@ register_method("gicp", 2, lambda cfg: gicp.create(cfg.set("dim", 2)))
 register_method("gicp", 3, lambda cfg: gicp.create(cfg.set("dim", 3)))
 register_method("symmetric", 2, lambda cfg: symmetric.create(cfg.set("dim", 2)))
 register_method("symmetric", 3, lambda cfg: symmetric.create(cfg.set("dim", 3)))
+register_method("ndt", 2, lambda cfg: ndt.create(cfg.set("dim", 2)))
+register_method("ndt", 3, lambda cfg: ndt.create(cfg.set("dim", 3)))
 
 __all__ = [
     "Matches",

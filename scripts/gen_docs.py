@@ -39,6 +39,8 @@ MODULES = {
     ("gicp", 3): "icp_tpu.methods.gicp",
     ("symmetric", 2): "icp_tpu.methods.symmetric",
     ("symmetric", 3): "icp_tpu.methods.symmetric",
+    ("ndt", 2): "icp_tpu.methods.ndt",
+    ("ndt", 3): "icp_tpu.methods.ndt",
 }
 
 

@@ -1,0 +1,322 @@
+"""NDT method family (net-new — no reference counterpart).
+
+Covers the voxel-Gaussian map builder against a NumPy per-cell oracle,
+lookup semantics (hits, misses, masked points, overflow), the overlapping
+half-cell-shifted grids, and the method itself: transform recovery (2D/3D),
+batched-vs-single equality, driver convergence, precompute reuse, and the
+safeguarded line search.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy_free_rotations import rot_zyx
+
+import icp_tpu as icp
+from icp_tpu import cloud, geometry
+from icp_tpu.ops.ndt import (
+    build_ndt_map,
+    build_overlapping_ndt_maps,
+    lookup_cells,
+)
+
+DRIVER = icp.DriverConfig(
+    max_iterations=60,
+    angle_tolerance=1e-4,
+    translation_tolerance=1e-4,
+)
+
+
+def room_cloud_2d(rng, n_per_wall=200, noise=0.01):
+    """Points along the walls of a room — the structured workload NDT
+    models (uniform volumetric clutter has no normal structure)."""
+    ts = np.linspace(0.0, 1.0, n_per_wall)
+    segs = [
+        ((-5, -4), (5, -4)),
+        ((5, -4), (5, 4)),
+        ((5, 4), (-5, 4)),
+        ((-5, 4), (-5, -4)),
+        ((-1, -1), (2, -1)),
+        ((2, -1), (2, 2)),
+    ]
+    walls = [
+        np.stack([x0 + (x1 - x0) * ts, y0 + (y1 - y0) * ts], axis=-1)
+        for (x0, y0), (x1, y1) in segs
+    ]
+    pts = np.concatenate(walls)
+    return pts + rng.normal(0, noise, pts.shape)
+
+
+def room_cloud_3d(rng, n=400, noise=0.01):
+    a = np.stack([rng.uniform(-4, 4, n), rng.uniform(-4, 4, n), np.zeros(n)], -1)
+    b = np.stack([rng.uniform(-4, 4, n), np.full(n, -4.0), rng.uniform(0, 3, n)], -1)
+    c = np.stack([np.full(n, 4.0), rng.uniform(-4, 4, n), rng.uniform(0, 3, n)], -1)
+    pts = np.concatenate([a, b, c])
+    return pts + rng.normal(0, noise, pts.shape)
+
+
+def numpy_cell_stats(pts, cell_size):
+    """Oracle: dict cell-coords -> (count, mean, cov) over all points."""
+    cells = np.floor(pts / cell_size).astype(np.int64)
+    out = {}
+    for c in {tuple(c) for c in cells}:
+        members = pts[(cells == np.asarray(c)).all(axis=1)]
+        mu = members.mean(axis=0)
+        d = members - mu
+        out[c] = (len(members), mu, d.T @ d / len(members))
+    return out
+
+
+def test_build_map_stats_match_numpy(rng):
+    pts = rng.uniform(-6, 6, (500, 2))
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(500, bool), 1.5, 256, min_points=1)
+    oracle = numpy_cell_stats(pts, 1.5)
+    got_valid = int(np.sum(np.asarray(ndt.valid)))
+    assert got_valid == len(oracle)
+    # Match each oracle cell to a slot via its mean's containing cell.
+    means = np.asarray(ndt.means)
+    counts = np.asarray(ndt.counts)
+    valid = np.asarray(ndt.valid)
+    for c, (cnt, mu, _cov) in oracle.items():
+        hits = [
+            i
+            for i in range(means.shape[0])
+            if valid[i] and tuple(np.floor(means[i] / 1.5).astype(np.int64)) == c
+        ]
+        assert len(hits) == 1
+        i = hits[0]
+        assert counts[i] == cnt
+        np.testing.assert_allclose(means[i], mu, atol=1e-9)
+
+
+def test_build_map_covariance_matches_numpy(rng):
+    # One well-populated cell: covariance (pre-regularization) should agree
+    # through the inverse for a well-conditioned cluster.
+    pts = rng.normal(0, 0.2, (64, 2)) + 0.75  # inside cell (0, 0) of size 1.5
+    ndt = build_ndt_map(
+        jnp.asarray(pts), jnp.ones(64, bool), 1.5, 8, min_points=1,
+        min_eigenvalue_ratio=1e-12,
+    )
+    valid = np.asarray(ndt.valid)
+    assert valid.sum() >= 1
+    i = int(np.argmax(np.asarray(ndt.counts)))
+    mu = pts.mean(axis=0)
+    d = pts - mu
+    cov = d.T @ d / len(pts)
+    np.testing.assert_allclose(
+        np.asarray(ndt.inv_covs)[i], np.linalg.inv(cov), rtol=1e-6
+    )
+
+
+def test_build_map_min_points_gates_cells(rng):
+    # 10 points in one cell, 2 in another.
+    pts = np.concatenate([rng.uniform(0.1, 0.9, (10, 2)), rng.uniform(5.1, 5.4, (2, 2))])
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(12, bool), 1.0, 8, min_points=4)
+    assert int(np.sum(np.asarray(ndt.valid))) == 1
+    assert int(np.asarray(ndt.counts)[np.asarray(ndt.valid)][0]) == 10
+
+
+def test_build_map_masked_points_excluded(rng):
+    pts = rng.uniform(0, 1, (20, 2))
+    mask = jnp.arange(20) < 12
+    ndt = build_ndt_map(jnp.asarray(pts), mask, 2.0, 8, min_points=1)
+    assert int(np.asarray(ndt.counts).sum()) == 12
+    oracle_mu = pts[:12].mean(axis=0)
+    i = int(np.argmax(np.asarray(ndt.counts)))
+    np.testing.assert_allclose(np.asarray(ndt.means)[i], oracle_mu, atol=1e-9)
+
+
+def test_build_map_overflow_flag(rng):
+    # 30 points in 30 distinct cells but capacity 4.
+    pts = np.stack([np.arange(30, dtype=np.float64) * 2.0, np.zeros(30)], -1)
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(30, bool), 1.0, 4, min_points=1)
+    assert bool(np.asarray(ndt.overflowed))
+    ok = build_ndt_map(jnp.asarray(pts), jnp.ones(30, bool), 1.0, 32, min_points=1)
+    assert not bool(np.asarray(ok.overflowed))
+
+
+def test_lookup_hits_and_misses(rng):
+    pts = rng.uniform(0, 1, (32, 2))  # all in cell (0, 0) at size 2
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(32, bool), 2.0, 8, min_points=1)
+    q = jnp.asarray([[0.5, 0.5], [10.0, 10.0], [-0.1, 0.5]])
+    means, inv_covs, hit, _ = lookup_cells(q, ndt)
+    assert np.asarray(hit).tolist() == [True, False, False]
+    np.testing.assert_allclose(np.asarray(means)[0], pts.mean(axis=0), atol=1e-9)
+
+
+def test_overlapping_grids_shift_membership(rng):
+    # A point at x=0.9 (cell size 1): grid offset 0 bins it to cell 0,
+    # grid offset 0.5 bins it to cell 1 — the half-shift changes membership.
+    pts = np.asarray([[0.9, 0.9]] * 8) + rng.normal(0, 0.01, (8, 2))
+    maps = build_overlapping_ndt_maps(jnp.asarray(pts), jnp.ones(8, bool), 1.0, 8, min_points=1)
+    assert maps.keys.shape[0] == 4  # 2^D grids
+    offs = np.asarray(maps.offset)
+    assert {tuple(o) for o in offs} == {(0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)}
+    for g in range(4):
+        grid = jax.tree.map(lambda x: x[g], maps)
+        _, _, hit, _ = lookup_cells(jnp.asarray(pts), grid)
+        assert bool(np.all(np.asarray(hit)))
+
+
+def test_regularized_inverse_conditions_thin_cells(rng):
+    # Collinear points: raw covariance is singular; the regularized inverse
+    # must be finite with eigenvalue ratio bounded by 1/min_ratio.
+    x = np.linspace(0.0, 0.9, 16)
+    pts = np.stack([x, np.full(16, 0.5)], -1)
+    ndt = build_ndt_map(
+        jnp.asarray(pts), jnp.ones(16, bool), 1.0, 4, min_points=1,
+        min_eigenvalue_ratio=1e-2,
+    )
+    i = int(np.argmax(np.asarray(ndt.counts)))
+    ic = np.asarray(ndt.inv_covs)[i]
+    assert np.all(np.isfinite(ic))
+    w = np.linalg.eigvalsh(ic)
+    assert w.max() / w.min() <= 1e2 * (1 + 1e-6)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_ndt_recovers_transform(rng, dim):
+    if dim == 2:
+        a_pts = room_cloud_2d(rng)
+        true = geometry.from_angle_2d(np.float64(0.12), np.array([0.4, -0.3]))
+        cfg = icp.Config()
+    else:
+        a_pts = room_cloud_3d(rng)
+        r = rot_zyx(0.05, -0.04, 0.1)
+        true = geometry.RigidTransform(jnp.asarray(r), jnp.asarray([0.3, -0.2, 0.15]))
+        cfg = icp.Config(cells=512)
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+
+    method = icp.from_method("ndt", dim, cfg)
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    result, _ = icp.converge(method, src, tgt, geometry.identity(dim, dtype=src.dtype), DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(true.translation), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.transform.rotation), np.asarray(true.rotation), atol=5e-3
+    )
+
+
+def test_ndt_batched_matches_single(rng):
+    a_pts = room_cloud_2d(rng, n_per_wall=100)
+    angles = [0.05, 0.1, -0.08]
+    singles = []
+    srcs, tgts = [], []
+    method = icp.from_method("ndt", 2)
+    for ang in angles:
+        true = geometry.from_angle_2d(np.float64(ang), np.array([0.2, -0.1]))
+        b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+        src = cloud.from_points(jnp.asarray(a_pts))
+        tgt = cloud.from_points(jnp.asarray(b_pts))
+        srcs.append(src)
+        tgts.append(tgt)
+        res, _ = icp.converge(method, src, tgt, geometry.identity(2, dtype=src.dtype), DRIVER)
+        singles.append(res)
+    batch_src = cloud.stack(srcs)
+    batch_tgt = cloud.stack(tgts)
+    res_b, _ = icp.converge(
+        method,
+        batch_src,
+        batch_tgt,
+        geometry.identity(2, batch_shape=(3,), dtype=batch_src.dtype),
+        DRIVER,
+    )
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(res_b.transform.translation)[i],
+            np.asarray(singles[i].transform.translation),
+            atol=1e-9,
+        )
+        assert int(np.asarray(res_b.iteration_count)[i]) == int(
+            np.asarray(singles[i].iteration_count)
+        )
+
+
+def test_ndt_precompute_reuse_matches_init(rng):
+    a_pts = room_cloud_2d(rng, n_per_wall=100)
+    true = geometry.from_angle_2d(np.float64(0.1), np.array([0.2, -0.1]))
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    method = icp.from_method("ndt", 2)
+    maps_b = method.precompute(tgt)
+    reuse = method.with_precomputed(None, maps_b)
+    guess = geometry.identity(2, dtype=src.dtype)
+    st0 = method.init(src, tgt, guess)
+    st1 = reuse.init(src, tgt, guess)
+    np.testing.assert_array_equal(np.asarray(st0.match_cost), np.asarray(st1.match_cost))
+    r0, _ = icp.converge(method, src, tgt, guess, DRIVER)
+    r1, _ = icp.converge(reuse, src, tgt, guess, DRIVER)
+    np.testing.assert_array_equal(
+        np.asarray(r0.transform.translation), np.asarray(r1.transform.translation)
+    )
+
+
+def test_ndt_line_search_never_worse(rng):
+    """With line_search on, the scored objective is non-increasing across
+    iterations under fixed maps (zero-step safeguard)."""
+    a_pts = room_cloud_2d(rng, n_per_wall=100)
+    true = geometry.from_angle_2d(np.float64(0.2), np.array([0.5, -0.4]))
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    method = icp.from_method("ndt", 2)
+    st = method.init(src, tgt, geometry.identity(2, dtype=src.dtype))
+    prev = float(method.cost(st))
+    for _ in range(15):
+        st = method.iterate(st)
+        cur = float(method.cost(st))
+        assert cur <= prev + 1e-12
+        prev = cur
+
+
+def test_ndt_no_overlap_single_grid_converges(rng):
+    a_pts = room_cloud_2d(rng)
+    true = geometry.from_angle_2d(np.float64(0.08), np.array([0.2, -0.15]))
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    method = icp.from_method("ndt", 2, icp.Config(overlap=0))
+    st = method.init(src, tgt, geometry.identity(2, dtype=src.dtype))
+    assert st.maps.keys.shape[0] == 1
+    result, _ = icp.converge(method, src, tgt, geometry.identity(2, dtype=src.dtype), DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(true.translation), atol=1e-2
+    )
+
+
+def test_ndt_points_outside_map_are_harmless(rng):
+    """Source points falling in no occupied cell contribute deficit 1 and
+    zero gradient — no NaNs, and the aligned subset still converges."""
+    a_pts = room_cloud_2d(rng, n_per_wall=100)
+    outliers = rng.uniform(50, 60, (50, 2))
+    a_all = np.concatenate([a_pts, outliers])
+    true = geometry.from_angle_2d(np.float64(0.1), np.array([0.3, -0.2]))
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    src = cloud.from_points(jnp.asarray(a_all))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    method = icp.from_method("ndt", 2)
+    result, fstate = icp.converge(method, src, tgt, geometry.identity(2, dtype=src.dtype), DRIVER)
+    assert np.all(np.isfinite(np.asarray(result.transform.translation)))
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(true.translation), atol=5e-3
+    )
+    # The state records the miss as the full deficit.
+    cost = np.asarray(fstate.match_cost)
+    n_real = a_all.shape[0]
+    assert np.all(cost[a_pts.shape[0]:n_real] == 1.0)
+
+
+def test_ndt_registered_both_dims():
+    assert icp.is_method_registered("ndt", 2)
+    assert icp.is_method_registered("ndt", 3)
+    assert "ndt" in icp.registered_methods(2)
+    state_has_no_matches = icp.from_method("ndt", 2)
+    a = cloud.from_points(jnp.asarray(np.zeros((4, 2))))
+    st = state_has_no_matches.init(a, a, geometry.identity(2, dtype=a.dtype))
+    from icp_tpu.methods import get_matches
+
+    assert get_matches(st) is None
