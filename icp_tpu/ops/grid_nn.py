@@ -42,10 +42,16 @@ check) and bump the capacity or shrink the cells.  Cells are clamped to
 ±2^(bits-1) cells from the origin; beyond that extent, border cells merge
 (same caveat as :func:`icp_tpu.mapping.voxel_downsample_device`).
 
-Status: exactness is pinned by ``tests/test_grid_nn.py`` on CPU; the TPU
-win over the fused (N, M) reduce is measured by
-``scripts/grid_nn_probe.py`` before any method adopts it (the pallas_nn
-lesson: integration follows measurement, never precedes it).
+Status: exactness is pinned by ``tests/test_grid_nn.py`` on CPU.  The TPU
+decision probe (``scripts/grid_nn_probe.py``, real chip 2026-08-19) is a
+recorded NEGATIVE: the fused (N, M) brute reduce costs 0.56-0.74 ms across
+every probed size up to (16384, 131072) while the gather-heavy grid query
+costs 1.2-9.4 ms (0.47x -> 0.08x "speedup") — the MXU absorbs the dense
+contraction and random gathers do not tile.  So this op is a CPU-backend
+tool only (10.4x at M=131k on host); no TPU method adopts it (the
+pallas_nn lesson: integration follows measurement, never precedes it).
+For large-map TPU matching use NDT's sorted-table lookup
+(:mod:`icp_tpu.ops.ndt`) instead.
 """
 
 from __future__ import annotations
