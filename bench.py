@@ -257,6 +257,142 @@ def run_gicp(metrics, jnp, icp):
     _progress(f"gicp3d: {best:.2f} ms/GN-iteration at queen scale")
 
 
+def run_ndt(metrics, jnp, icp):
+    """NDT (voxel-Gaussian, round-3 family): the scan1 matrix cell, plus its
+    production case — scan-to-map localization against a 64k-point map,
+    where the per-iteration cost is O(N log V) sorted-key lookup instead of
+    the NN families' O(N*M) distance reduce (methods/ndt.py module doc)."""
+    import jax
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    guess = _hard_guesses(MATRIX_BATCH, jnp, icp)
+    method = icp.from_method("ndt", 2, icp.Config(cell_size=0.5, cells=1024))
+    fn = icp.make_converge_fn(method, _bench_cfg(icp))
+    try:
+        a, b = _load_pair(_data_dir(repo), 1, MATRIX_BATCH, jnp, icp)
+    except FileNotFoundError:
+        a = b = None
+        _progress("ndt: scan1 data missing, matrix cell skipped")
+    if a is not None:
+        _progress("ndt: scan1 B=256 ...")
+        dt, (result, _) = _timed(fn, (a, b, guess), 3, jnp)
+        pairs_per_sec = MATRIX_BATCH / dt
+        metrics.append(
+            {
+                "metric": "scan1_ndt_pairs_per_sec",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s (hard perturbations +-0.15 rad/+-0.6 m)",
+                "vs_baseline": round(pairs_per_sec / BASELINE_CONVERGES_PER_SEC, 2),
+                "mean_iterations": round(float(jnp.mean(result.iteration_count)), 2),
+            }
+        )
+        _progress(f"ndt: scan1: {pairs_per_sec:.0f} pairs/s")
+
+    # Scan-to-map: 4,096-point scan against a 65,536-point structured map
+    # (points on a sphere surface — bounded occupied-cell count).  NDT
+    # iterates against the precomputed Gaussian table; trimmed 3D (the NN
+    # family) iterates against the raw map cloud.  Same clouds, same
+    # device-chained n=50 best-of-3 protocol as the queen rows.
+    rng = np.random.default_rng(13)
+    u = rng.normal(size=(65536, 3)).astype(np.float32)
+    map_pts = 20.0 * u / np.linalg.norm(u, axis=1, keepdims=True)
+    v = rng.normal(size=(4096, 3)).astype(np.float32)
+    v[:, 2] = np.abs(v[:, 2])  # upper-cap scan
+    scan_pts = 20.0 * v / np.linalg.norm(v, axis=1, keepdims=True)
+    scan_pts += rng.normal(0, 0.02, scan_pts.shape).astype(np.float32)
+    src = icp.from_points(jnp.asarray(scan_pts), dtype=np.float32)
+    tgt = icp.from_points(jnp.asarray(map_pts), dtype=np.float32)
+
+    m_ndt = icp.from_method("ndt", 3, icp.Config(dim=3, cell_size=1.0, cells=8192))
+    m_ndt_sorted = icp.from_method(
+        "ndt", 3, icp.Config(dim=3, cell_size=1.0, cells=8192, lookup="sorted")
+    )
+    build = jax.jit(m_ndt.precompute)
+    _progress("ndt: compiling 64k map build ...")
+    maps = build(tgt)
+    bool(jnp.any(maps.overflowed))
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        maps = build(tgt)
+        bool(jnp.any(maps.overflowed))
+    build_ms = (time.perf_counter() - t0) / REPEATS * 1e3
+    assert not bool(jnp.any(maps.overflowed)), "ndt map capacity overflow at bench shape"
+
+    n = 50
+
+    def time_iterate(m, tag):
+        state0 = m.with_precomputed(None, maps).init(src, tgt, icp.identity(3))
+
+        @jax.jit
+        def run_n(state):
+            return jax.lax.fori_loop(0, n, lambda _, s: m.iterate(s), state)
+
+        _progress(f"ndt: compiling 64k scan-to-map iterate ({tag}) ...")
+        state = run_n(state0)
+        float(jnp.sum(state.match_cost))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run_n(state0)
+            float(jnp.sum(state.match_cost))
+            best = min(best, (time.perf_counter() - t0) / n * 1e3)
+        return best
+
+    best_ndt = time_iterate(m_ndt, "dense one-hot matmul")
+    best_sorted = time_iterate(m_ndt_sorted, "sorted searchsorted+gather")
+
+    m_tr = icp.from_method("trimmed", 3, icp.Config(max_distance=1.0))
+    state0t = m_tr.init(src, tgt, icp.identity(3))
+
+    @jax.jit
+    def run_t(state):
+        return jax.lax.fori_loop(0, n, lambda _, s: m_tr.iterate(s), state)
+
+    _progress("ndt: compiling 64k trimmed iterate (NN reduce) ...")
+    state_t = run_t(state0t)
+    float(jnp.sum(state_t.mean_nn_dist))
+    best_tr = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_t = run_t(state0t)
+        float(jnp.sum(state_t.mean_nn_dist))
+        best_tr = min(best_tr, (time.perf_counter() - t0) / n * 1e3)
+
+    metrics.append(
+        {
+            "metric": "map64k_ndt_iteration_ms",
+            "value": round(best_ndt, 3),
+            "unit": f"ms/iteration (4k scan vs 64k-map Gaussian table, dense "
+            f"one-hot-matmul lookup; map build {build_ms:.1f} ms amortized "
+            "across all iterations; baseline = trimmed-3D NN iterate on the "
+            "same clouds)",
+            "vs_baseline": round(best_tr / best_ndt, 2),
+        }
+    )
+    metrics.append(
+        {
+            "metric": "map64k_ndt_sorted_iteration_ms",
+            "value": round(best_sorted, 3),
+            "unit": "ms/iteration (same, lookup='sorted' searchsorted+gather "
+            "— the gather-bound variant; baseline = the dense row)",
+            "vs_baseline": round(best_ndt / best_sorted, 2),
+        }
+    )
+    metrics.append(
+        {
+            "metric": "map64k_trimmed_iteration_ms",
+            "value": round(best_tr, 3),
+            "unit": "ms/iteration (4k scan vs raw 64k map, O(N*M) NN reduce)",
+            "vs_baseline": None,
+        }
+    )
+    _progress(
+        f"ndt: 64k scan-to-map {best_ndt:.2f} ms/iter (sorted {best_sorted:.2f}) "
+        f"vs trimmed {best_tr:.2f} ms/iter ({best_tr / best_ndt:.1f}x); "
+        f"build {build_ms:.1f} ms"
+    )
+
+
 def run_queen_3d(metrics, jnp, icp):
     """3D per-iteration latency at queen.ply scale (10,720-point clouds)."""
     import jax
@@ -887,6 +1023,7 @@ def main():
         for step in (
             run_matrix,
             run_gicp,
+            run_ndt,
             run_queen_3d,
             run_pose_graph,
             run_roofline,

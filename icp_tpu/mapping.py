@@ -212,6 +212,28 @@ def scan_to_map_odometry(
     from .cloud import PointCloud
 
     fn = make_converge_fn(method, config)  # jit specializes per shape itself
+    # Aux caching: the map only changes at keyframe merges, but a plain
+    # converge re-derives the MAP's precomputed data (gicp surfel
+    # covariances, point_to_plane normals, ndt Gaussian tables) inside
+    # every scan's init.  Cache it across the scans between keyframes and
+    # pass it as a traced OPERAND (same rule as odometry.chain_scans:
+    # closure constants would bake the map into the executable and force a
+    # recompile per keyframe).
+    reuse_aux = method.precompute is not None and method.with_precomputed is not None
+    pre_jit = fn_with_aux = None
+    map_aux = None
+    if reuse_aux:
+        import jax as _jax
+
+        from .driver import converge as _converge
+
+        pre_jit = _jax.jit(method.precompute)
+
+        @_jax.jit
+        def fn_with_aux(scan, map_cloud, guess, src_aux, m_aux):
+            m = method.with_precomputed(src_aux, m_aux)
+            return _converge(m, scan, map_cloud, guess, config)
+
     merge_jit = None
     if device_map:
         merge_jit = jax.jit(
@@ -266,7 +288,14 @@ def scan_to_map_odometry(
         # keyframe pose, so the initial-guess error is bounded by one scan's
         # motion rather than a whole keyframe interval (sustained turns
         # would otherwise push the seed outside ICP's basin).
-        result, _ = fn(scan, map_cloud, prev_pose)
+        if reuse_aux:
+            if map_aux is None:  # first registration against this map revision
+                map_aux = pre_jit(map_cloud)
+            result, _ = fn_with_aux(
+                scan, map_cloud, prev_pose, pre_jit(scan), map_aux
+            )
+        else:
+            result, _ = fn(scan, map_cloud, prev_pose)
         pose = result.transform
         prev_pose = pose
 
@@ -307,5 +336,6 @@ def scan_to_map_odometry(
                     geometry.apply(pose, scan.points)
                 )[: int(scan.count)]
                 local_map = local_map.merged_with(world_pts)
+            map_aux = None  # map revision changed; re-derive on next scan
             kf_pose = pose
         yield pose, is_kf, result

@@ -8,9 +8,13 @@ maximizing the likelihood of the transformed points under those Gaussians:
     score(T) = sum_i exp(-0.5 (T a_i - mu_{c(i)})^T  Sigma_{c(i)}^{-1} (T a_i - mu_{c(i)}))
 
 No per-iteration nearest-neighbor search at all — correspondence is an
-O(log V) sorted-key lookup (:mod:`icp_tpu.ops.ndt`), which makes NDT the
-cheapest per-iteration method in the registry at large target sizes and
-the classic choice for scan-to-map localization against persistent maps.
+exact cell-key lookup into the precomputed table (:mod:`icp_tpu.ops.ndt`),
+which makes NDT the cheapest per-iteration method in the registry at
+large target sizes (the V-slot Gaussian table is far smaller than the
+M-point cloud) and the classic choice for scan-to-map localization
+against persistent maps.  On TPU the lookup is a dense one-hot matmul
+(measured 2.9 ms vs the 3.1 ms brute NN reduce and 15.9 ms for the
+gather formulation at the 64k-map bench shape — BASELINE.md "Grid NN").
 The reference library has no NDT; its five methods are all point-to-point
 (``/root/reference/lib/icp/icp.cpp:16-27``).
 
@@ -40,7 +44,10 @@ target point index), as with the 3D parity family.
 Config: ``cell_size`` (float, default 1.0), ``cells`` (static map slot
 capacity, default 256), ``overlap`` (bool, default 1 — the 2^D shifted
 grids), ``min_points`` (default 4), ``min_eigenvalue_ratio`` (default
-1e-2), ``line_search`` (default 1), ``dim``.
+1e-2), ``line_search`` (default 1), ``lookup`` (``"dense"`` default — the
+exact-key one-hot matmul selection that rides the MXU; ``"sorted"`` — the
+O(log V) searchsorted+gather path, faster on CPU backends where gathers
+are cheap and V is large), ``dim``.
 
 Map-capacity overflow is recorded on the state (``state.maps.overflowed``,
 one bool per grid x batch lane); deployments assert it off once per shape,
@@ -58,7 +65,13 @@ from .. import geometry, lie
 from ..cloud import PointCloud
 from ..config import Config
 from ..geometry import HIGHEST, RigidTransform
-from ..ops.ndt import NdtMap, build_ndt_map, build_overlapping_ndt_maps, lookup_cells
+from ..ops.ndt import (
+    NdtMap,
+    build_ndt_map,
+    build_overlapping_ndt_maps,
+    lookup_cells,
+    lookup_cells_dense,
+)
 from .base import Method
 from .gicp import _jacobian_rows
 
@@ -101,6 +114,9 @@ def create(config: Config) -> Method:
     min_points = int(config.get("min_points", DEFAULT_MIN_POINTS))
     min_ratio = float(config.get("min_eigenvalue_ratio", DEFAULT_MIN_EIG_RATIO))
     line_search = bool(config.get("line_search", 1))
+    lookup = str(config.get("lookup", "dense"))
+    if lookup not in ("dense", "sorted"):
+        raise ValueError(f"ndt lookup must be 'dense' or 'sorted', got {lookup!r}")
     dim = int(config.get("dim", 2))
 
     def precompute(cloud: PointCloud) -> NdtMap:
@@ -132,25 +148,29 @@ def create(config: Config) -> Method:
             maps = jax.tree.map(lambda x: jnp.moveaxis(x, 0, nb), maps)
         return maps
 
-    def _per_grid(a_cur: Array, maps: NdtMap, g: int):
-        """(resid, inv_cov, weight base (hit mask as dtype)) for grid g."""
-        nb = len(a_cur.shape[:-2])
-        grid = jax.tree.map(
-            lambda x: jax.lax.index_in_dim(x, g, axis=nb, keepdims=False), maps
+    def _lookup_grids(a_cur: Array, maps: NdtMap, n_grids: int):
+        """All grids at once: the query broadcasts over the G axis so the
+        selection is ONE batched contraction instead of a per-grid Python
+        loop (4 small programs -> one big MXU-friendly one).  Returns
+        ``(resid, inv_cov, hit-as-dtype)`` shaped ``(..., G, N, ...)``."""
+        q = jnp.broadcast_to(
+            a_cur[..., None, :, :],
+            a_cur.shape[:-2] + (n_grids,) + a_cur.shape[-2:],
         )
-        means, inv_covs, hit, _ = _lookup_one_grid(a_cur, grid)
-        return a_cur - means, inv_covs, hit.astype(a_cur.dtype)
+        if lookup == "dense":
+            means, inv_covs, hit, _ = lookup_cells_dense(q, maps)
+        else:
+            means, inv_covs, hit, _ = _lookup_one_grid(q, maps)
+        return q - means, inv_covs, hit.astype(a_cur.dtype)
 
     def _deficit(a_cur: Array, maps: NdtMap, n_grids: int):
         """Per-point mean-over-grids score deficit ``(..., N)`` in [0, 1]."""
-        total = 0.0
-        for g in range(n_grids):
-            resid, icov, hit = _per_grid(a_cur, maps, g)
-            mahal = jnp.einsum(
-                "...ni,...nij,...nj->...n", resid, icov, resid, precision=HIGHEST
-            )
-            total = total + jnp.where(hit > 0, 1.0 - jnp.exp(-0.5 * mahal), 1.0)
-        return total / n_grids
+        resid, icov, hit = _lookup_grids(a_cur, maps, n_grids)
+        mahal = jnp.einsum(
+            "...ni,...nij,...nj->...n", resid, icov, resid, precision=HIGHEST
+        )
+        deficit = jnp.where(hit > 0, 1.0 - jnp.exp(-0.5 * mahal), 1.0)
+        return jnp.mean(deficit, axis=-2)
 
     def _init_with(source, target, guess, maps) -> NdtState:
         n_grids = maps.keys.shape[len(source.batch_shape)]
@@ -171,22 +191,20 @@ def create(config: Config) -> Method:
         jac = _jacobian_rows(a_cur, src.dim)  # (..., N, D, dof)
         dof = jac.shape[-1]
 
-        jtj = 0.0
-        jtr = 0.0
-        for g in range(n_grids):
-            resid, icov, hit = _per_grid(a_cur, maps, g)
-            mahal = jnp.einsum(
-                "...ni,...nij,...nj->...n", resid, icov, resid, precision=HIGHEST
-            )
-            # Gaussian-score IRLS weight: exactly the NDT score gradient.
-            w = valid * hit * jnp.exp(-0.5 * mahal)
-            wj = jnp.einsum("...nij,...njk->...nik", icov, jac, precision=HIGHEST)
-            jtj = jtj + jnp.einsum(
-                "...nik,...nil,...n->...kl", jac, wj, w, precision=HIGHEST
-            )
-            jtr = jtr + jnp.einsum(
-                "...nik,...nij,...nj,...n->...k", jac, icov, resid, w, precision=HIGHEST
-            )
+        # All 2^D grids in one batched contraction (G folded next to N).
+        resid, icov, hit = _lookup_grids(a_cur, maps, n_grids)
+        mahal = jnp.einsum(
+            "...ni,...nij,...nj->...n", resid, icov, resid, precision=HIGHEST
+        )
+        # Gaussian-score IRLS weight: exactly the NDT score gradient.
+        w = valid[..., None, :] * hit * jnp.exp(-0.5 * mahal)  # (..., G, N)
+        wj = jnp.einsum("...gnij,...njk->...gnik", icov, jac, precision=HIGHEST)
+        jtj = jnp.einsum(
+            "...nik,...gnil,...gn->...kl", jac, wj, w, precision=HIGHEST
+        )
+        jtr = jnp.einsum(
+            "...nik,...gnij,...gnj,...gn->...k", jac, icov, resid, w, precision=HIGHEST
+        )
 
         eye = jnp.eye(dof, dtype=a_cur.dtype)
         damped = (

@@ -50,8 +50,10 @@ costs 1.2-9.4 ms (0.47x -> 0.08x "speedup") — the MXU absorbs the dense
 contraction and random gathers do not tile.  So this op is a CPU-backend
 tool only (10.4x at M=131k on host); no TPU method adopts it (the
 pallas_nn lesson: integration follows measurement, never precedes it).
-For large-map TPU matching use NDT's sorted-table lookup
-(:mod:`icp_tpu.ops.ndt`) instead.
+For large-map TPU matching use NDT's dense one-hot-matmul lookup
+(:mod:`icp_tpu.ops.ndt`) instead — the same measurement story, resolved
+the TPU way: 2.9 ms/iter vs the 3.1 ms brute reduce at the 64k-map bench
+shape (and 15.9 ms for NDT's own gather-based variant).
 """
 
 from __future__ import annotations

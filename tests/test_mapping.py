@@ -206,3 +206,77 @@ def test_scan_to_map_device_matches_host_trajectory(rng):
             np.asarray(host[t][0].translation),
             atol=1e-6,
         )
+
+
+def _half_loop_scans(rng, t_steps=10, n_world=160):
+    import math
+
+    world = rng.uniform(-25, 25, (n_world, 2))
+    radius = 4.0
+    scans = []
+    for k in range(t_steps):
+        phi = math.pi * k / (t_steps - 1)
+        px, py, th = radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        pts += rng.normal(0, 0.01, pts.shape)
+        scans.append(icp.from_points(pts, capacity=n_world, dtype=np.float64))
+    return scans
+
+
+def test_scan_to_map_aux_cache_matches_plain(rng):
+    """Methods with precompute (gicp here) take the map-aux-cached converge
+    path; the trajectory must match a control with precompute stripped
+    (same math, aux derived inside init) to fp tolerance."""
+    import dataclasses
+
+    scans = _half_loop_scans(rng)
+    method = icp.from_method("gicp", 2, icp.Config(dim=2))
+    assert method.precompute is not None  # the cached path actually engages
+    plain = dataclasses.replace(method, precompute=None, with_precomputed=None)
+    cfg = icp.DriverConfig(
+        max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    cached = list(
+        mapping.scan_to_map_odometry(scans, method, cfg, voxel_size=0.2, map_capacity=1024)
+    )
+    control = list(
+        mapping.scan_to_map_odometry(scans, plain, cfg, voxel_size=0.2, map_capacity=1024)
+    )
+    assert len(cached) == len(control) == len(scans)
+    for t in range(len(scans)):
+        assert bool(cached[t][1]) == bool(control[t][1]), t
+        np.testing.assert_allclose(
+            np.asarray(cached[t][0].translation),
+            np.asarray(control[t][0].translation),
+            atol=1e-9,
+        )
+
+
+def test_scan_to_map_ndt_tracks_loop(rng):
+    """NDT scan-to-map (its classic production pairing: persistent Gaussian
+    map): the half-loop trajectory stays tight.  Needs DENSE scans — at the
+    drift test's 160 points over 50x50 m no cell reaches min_points and the
+    objective has no gradient (that failure mode is by construction), and
+    FINE steps — NDT's basin is the Gaussian support, so the 20-deg/step
+    rotation that NN correspondence absorbs throws distant points off the
+    map's cells entirely (25 m x 0.35 rad ~ 9 m)."""
+    scans = _half_loop_scans(rng, t_steps=40, n_world=1200)
+    method = icp.from_method("ndt", 2, icp.Config(dim=2, cell_size=4.0, cells=2048))
+    cfg = icp.DriverConfig(
+        max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+    out = list(
+        mapping.scan_to_map_odometry(
+            scans, method, cfg, voxel_size=0.05, map_capacity=4096,
+            keyframe_translation=0.5, keyframe_angle=0.2,
+        )
+    )
+    assert len(out) == len(scans)
+    # Poses live in scan 0's frame.  From the generation math
+    # (pts = (world - p) @ Rm with Rm = [[c,-s],[s,c]]): the scan-k ->
+    # scan-0 translation is Rm0^T (p_k - p_0).  Here th0 = pi/2 and
+    # p_end - p_0 = (-8, 0), so the true end translation is (0, 8).
+    true_end = np.array([0.0, 8.0])
+    got = np.asarray(out[-1][0].translation)
+    assert np.linalg.norm(got - true_end) < 0.1, (got, true_end)

@@ -320,3 +320,95 @@ def test_ndt_registered_both_dims():
     from icp_tpu.methods import get_matches
 
     assert get_matches(st) is None
+
+
+def test_lookup_dense_matches_sorted(rng):
+    """lookup_cells_dense is the MXU formulation of lookup_cells: hits,
+    indices, and selected statistics identical (misses return zero stats
+    instead of an arbitrary slot's — callers weight both by hit)."""
+    from icp_tpu.ops.ndt import lookup_cells_dense
+
+    pts = rng.uniform(-6, 6, (400, 2))
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(400, bool), 1.5, 128, min_points=2)
+    q = jnp.asarray(rng.uniform(-8, 8, (200, 2)))
+    m_s, ic_s, hit_s, idx_s = lookup_cells(q, ndt)
+    m_d, ic_d, hit_d, idx_d = lookup_cells_dense(q, ndt)
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_d))
+    h = np.asarray(hit_s)
+    np.testing.assert_array_equal(np.asarray(idx_s)[h], np.asarray(idx_d)[h])
+    np.testing.assert_array_equal(np.asarray(m_s)[h], np.asarray(m_d)[h])
+    np.testing.assert_array_equal(np.asarray(ic_s)[h], np.asarray(ic_d)[h])
+    assert np.all(np.asarray(m_d)[~h] == 0.0)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_ndt_dense_and_sorted_converge_identically(rng, dim):
+    """The two lookups select identical statistics (op-level test above);
+    the surrounding XLA fusion differs (matmul-fed vs gather-fed einsums
+    may associate reductions differently), so assert tight numerical
+    agreement rather than bitwise, plus recovery of truth.  (A looser
+    3e-3 version of this test masked a real bug once — the mid-table
+    sentinel that broke searchsorted ordering — keep this tolerance
+    TIGHT.)"""
+    if dim == 2:
+        a_pts = room_cloud_2d(rng, n_per_wall=100)
+        true = geometry.from_angle_2d(np.float64(0.1), np.array([0.3, -0.2]))
+    else:
+        a_pts = room_cloud_3d(rng, n=300)
+        r = rot_zyx(0.04, -0.03, 0.08)
+        true = geometry.RigidTransform(jnp.asarray(r), jnp.asarray([0.2, -0.1, 0.1]))
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    guess = geometry.identity(dim, dtype=src.dtype)
+    cells = 512 if dim == 3 else 256
+    res = {}
+    for lk in ("dense", "sorted"):
+        method = icp.from_method("ndt", dim, icp.Config(lookup=lk, cells=cells))
+        res[lk], _ = icp.converge(method, src, tgt, guess, DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(res["dense"].transform.translation),
+        np.asarray(res["sorted"].transform.translation),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["dense"].transform.rotation),
+        np.asarray(res["sorted"].transform.rotation),
+        atol=1e-9,
+    )
+    for lk in ("dense", "sorted"):
+        np.testing.assert_allclose(
+            np.asarray(res[lk].transform.translation),
+            np.asarray(true.translation),
+            atol=5e-3,
+        )
+
+
+def test_ndt_lookup_config_validated():
+    with pytest.raises(ValueError):
+        icp.from_method("ndt", 2, icp.Config(lookup="hash"))
+
+
+def test_invalid_mid_table_cell_keeps_keys_sorted(rng):
+    """Regression: an underpopulated cell in the MIDDLE of the key range
+    must keep its real key — a sentinel there broke searchsorted's
+    ascending-order contract and silently lost every later cell's matches
+    (caught on queen.ply: 187 vs 3480 hits)."""
+    # Cells along x: 0 (dense), 1 (two points -> invalid), 2 (dense).
+    pts = np.concatenate([
+        rng.uniform(0.05, 0.95, (20, 1)),
+        rng.uniform(1.05, 1.45, (2, 1)),
+        rng.uniform(2.05, 2.95, (20, 1)),
+    ])
+    pts = np.concatenate([pts, np.full_like(pts, 0.5)], axis=1)
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(42, bool), 1.0, 8, min_points=4)
+    keys = np.asarray(ndt.keys).astype(np.int64)
+    assert np.all(np.diff(keys) >= 0), keys
+    q = jnp.asarray([[0.5, 0.5], [1.2, 0.5], [2.5, 0.5]])
+    from icp_tpu.ops.ndt import lookup_cells_dense
+
+    _, _, hit_s, idx_s = lookup_cells(q, ndt)
+    _, _, hit_d, idx_d = lookup_cells_dense(q, ndt)
+    assert np.asarray(hit_s).tolist() == [True, False, True]
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_d))
+    np.testing.assert_array_equal(np.asarray(idx_s)[[0, 2]], np.asarray(idx_d)[[0, 2]])
