@@ -470,27 +470,43 @@ def cmd_odometry(args):
         scans, method, cfg, coarse=args.coarse, multiscale=args.multiscale,
         wrap_converge=wrap, pad_pairs_to_bucket=wrap is not None,
     )
-    if args.optimize or args.loop_radius:
+    loop_descriptor = getattr(args, "loop_descriptor", None)
+    if args.optimize or args.loop_radius or loop_descriptor:
         from . import geometry as _geo
         from . import pose_graph
 
         loop_edges = loop_meas = None
-        if args.loop_radius:
+        cands = guesses = None
+        if loop_descriptor:
+            from .ops.descriptor import (
+                find_loop_candidates_descriptor,
+                scan_context,
+                yaw_seeds,
+            )
+
+            descs = scan_context(scans.points, scans.mask, max_radius=loop_descriptor)
+            cands, yaw = find_loop_candidates_descriptor(
+                descs, args.descriptor_max_distance,
+                min_separation=args.loop_min_separation,
+            )
+            guesses = yaw_seeds(scans, cands, yaw)
+        elif args.loop_radius:
             cands = pose_graph.find_loop_candidates(
                 traj.poses, radius=args.loop_radius,
                 min_separation=args.loop_min_separation,
             )
-            if len(np.asarray(cands)):
-                loop_edges, loop_meas, lc_costs = pose_graph.register_loop_closures(
-                    scans, traj.poses, cands, method, cfg,
-                    max_cost=args.loop_max_cost, coarse=args.loop_coarse,
-                )
-                print(
-                    f"loop closures: {len(np.asarray(loop_edges))} of "
-                    f"{len(np.asarray(cands))} candidates accepted "
-                    f"(costs {np.round(np.asarray(lc_costs), 4).tolist()})",
-                    file=sys.stderr,
-                )
+        if cands is not None and len(np.asarray(cands)):
+            loop_edges, loop_meas, lc_costs = pose_graph.register_loop_closures(
+                scans, traj.poses, cands, method, cfg,
+                max_cost=args.loop_max_cost, coarse=args.loop_coarse,
+                guesses=guesses,
+            )
+            print(
+                f"loop closures: {len(np.asarray(loop_edges))} of "
+                f"{len(np.asarray(cands))} candidates accepted "
+                f"(costs {np.round(np.asarray(lc_costs), 4).tolist()})",
+                file=sys.stderr,
+            )
         loop_info = None
         if args.closure_information and loop_edges is not None:
             from .ops.covariance import cloud_information
@@ -765,6 +781,18 @@ def main(argv=None):
         "--loop-coarse", action="store_true",
         help="seed closure registrations with the global initializer "
         "(use when accumulated drift is large)",
+    )
+    p_odo.add_argument(
+        "--loop-descriptor", type=float, default=None, metavar="RANGE",
+        help="detect loop closures by Scan Context appearance matching "
+        "instead of pose radius (RANGE = sensor range, the descriptor's "
+        "radial extent); immune to pose drift, and each closure is seeded "
+        "with the descriptor's yaw estimate",
+    )
+    p_odo.add_argument(
+        "--descriptor-max-distance", type=float, default=0.2,
+        help="Scan Context distance acceptance threshold for "
+        "--loop-descriptor (smaller = stricter place match)",
     )
     p_odo.add_argument(
         "--robust-kernel", default="none",

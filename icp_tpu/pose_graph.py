@@ -797,6 +797,7 @@ def register_loop_closures(
     driver_config,
     max_cost: float | None = None,
     coarse: bool = False,
+    guesses: RigidTransform | None = None,
 ):
     """Register every candidate pair (batched) and return accepted
     ``(edges (K', 2), measurements, costs)``.
@@ -806,7 +807,11 @@ def register_loop_closures(
     (``X_i^{-1} X_j``); with ``coarse=True`` the global initializer
     (``ops/coarse.py``) seeds instead — the right choice when accumulated
     drift is large enough that the pose-derived seed leaves ICP's basin
-    (a wrongly-converged closure silently confirms the drift).
+    (a wrongly-converged closure silently confirms the drift).  ``guesses``
+    (a ``(K,)``-batched transform aligned with ``candidates``) overrides
+    both — e.g. the Scan Context yaw seeds
+    (:func:`icp_tpu.ops.descriptor.yaw_seeds`), which depend on the scans'
+    appearance rather than the drifted poses.
     ``max_cost`` drops closures whose converged cost exceeds it (bad
     closures corrupt graphs — standard practice).
     """
@@ -832,7 +837,9 @@ def register_loop_closures(
     tgt = cloud_mod.PointCloud(clouds.points[i], clouds.count[i])
     # Seed: the transform taking frame-j points into frame i under current
     # estimates is X_i^{-1} X_j.
-    if coarse:
+    if guesses is not None:
+        seed = guesses
+    elif coarse:
         from .ops.coarse import coarse_align_2d, coarse_align_3d
 
         seed = (coarse_align_2d if poses.dim == 2 else coarse_align_3d)(src, tgt)

@@ -405,6 +405,10 @@ def run_slam(
     coarse: bool = False,
     multiscale: bool = False,
     loop_radius: float | None = None,
+    loop_detector: str = "radius",
+    descriptor_range: float | None = None,
+    descriptor_max_distance: float = 0.2,
+    descriptor_seed: bool = True,
     loop_min_separation: int = 10,
     loop_max_candidates: int | None = 64,
     loop_max_cost: float | None = None,
@@ -422,6 +426,12 @@ def run_slam(
     ``scans`` is the batched ``(T, N, D)`` scan stack.  With
     ``loop_radius=None`` only the odometry chain runs (poses ==
     trajectory.poses).  Returns optimized poses in the scan-0 frame.
+
+    ``loop_detector='descriptor'`` retrieves loop candidates by Scan
+    Context appearance matching (``descriptor_range`` = sensor range,
+    ``descriptor_max_distance`` = acceptance threshold) instead of pose
+    radius — immune to accumulated drift, with each closure registration
+    seeded by the descriptor's yaw estimate (``descriptor_seed``).
 
     ``robust`` / ``robust_scale`` select a per-edge robust kernel for the
     graph solve (see :func:`icp_tpu.pose_graph.optimize`): ``max_cost`` only
@@ -446,9 +456,41 @@ def run_slam(
         scans, method, config, coarse=coarse, multiscale=multiscale
     )
 
+    if loop_detector not in ("radius", "descriptor"):
+        raise ValueError(
+            f"loop_detector must be 'radius' or 'descriptor', got {loop_detector!r}"
+        )
     loop_edges = jnp.zeros((0, 2), dtype=jnp.int32)
     loop_meas = None
-    if loop_radius is not None:
+    if loop_detector == "descriptor":
+        # Appearance-based retrieval (Scan Context): does NOT trust the
+        # drifted poses — the fix for revisits whose pose estimate has
+        # drifted beyond any radius (ops/descriptor.py module doc).  The
+        # descriptor's yaw estimate seeds each registration (its own
+        # basin-escape, independent of pose drift).
+        from .ops.descriptor import (
+            find_loop_candidates_descriptor,
+            scan_context,
+            yaw_seeds,
+        )
+
+        if descriptor_range is None:
+            raise ValueError(
+                "loop_detector='descriptor' needs descriptor_range "
+                "(the sensor range; a common constant across scans)"
+            )
+        descs = scan_context(scans.points, scans.mask, max_radius=descriptor_range)
+        cands, yaw = find_loop_candidates_descriptor(
+            descs, descriptor_max_distance,
+            min_separation=loop_min_separation,
+            max_candidates=loop_max_candidates,
+        )
+        guesses = yaw_seeds(scans, cands, yaw) if descriptor_seed else None
+        loop_edges, loop_meas, _ = pose_graph.register_loop_closures(
+            scans, traj.poses, cands, method, config,
+            max_cost=loop_max_cost, coarse=loop_coarse, guesses=guesses,
+        )
+    elif loop_radius is not None:
         cands = pose_graph.find_loop_candidates(
             traj.poses, radius=loop_radius,
             min_separation=loop_min_separation,

@@ -246,3 +246,42 @@ def test_graph_subcommand_optimizes_g2o(capsys, tmp_path):
     assert opt.num_nodes == 17
     assert os.path.exists(tum_path)
     assert len(open(tum_path).read().strip().splitlines()) == 17
+
+
+def test_odometry_csv_descriptor_loop_closure(capsys, tmp_path):
+    """--loop-descriptor: Scan Context retrieval + yaw-seeded closure
+    registration through the argv surface.  Uses a perceptually
+    DISTINCTIVE synthetic loop — appearance retrieval needs one (measured:
+    seq1's aliased corridors give revisits no descriptor separation from
+    far pairs; see ops/descriptor.py)."""
+    import math
+
+    rng = np.random.default_rng(5)
+    ang = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    radius = 16.0 + 3.0 * np.sin(3 * ang + 0.4) + 1.5 * np.cos(7 * ang)
+    world = np.stack([radius * np.cos(ang), radius * np.sin(ang)], -1)
+    t_steps, loop_r = 12, 1.5
+    paths = []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = loop_r * math.cos(phi), loop_r * math.sin(phi), 0.3 * math.sin(phi)
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        pts += rng.normal(0, 0.05, pts.shape)
+        p = tmp_path / f"scan_{k:03d}.csv"
+        np.savetxt(p, pts, delimiter=",")
+        paths.append(str(p))
+    cli.main([
+        "odometry", "--scans", *paths, "-m", "trimmed",
+        "--optimize", "--loop-descriptor", "30",
+        "--descriptor-max-distance", "0.2",
+        "--loop-min-separation", "8", "--loop-weight", "100",
+        "--max-iterations", "50",
+    ])
+    captured = capsys.readouterr()
+    recs = [json.loads(line) for line in captured.out.strip().splitlines()]
+    assert len(recs) == t_steps
+    assert "loop closures:" in captured.err
+    # The loop returns to the start: optimized end pose near identity.
+    t_last = np.asarray(recs[-1]["translation"])
+    assert np.linalg.norm(t_last) < 0.2, t_last
