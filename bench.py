@@ -393,6 +393,59 @@ def run_ndt(metrics, jnp, icp):
     )
 
 
+def run_descriptor(metrics, jnp, icp):
+    """Scan Context place recognition: descriptor build for a keyframe
+    batch + the all-pairs min-over-shift retrieval at a 1,024-keyframe
+    map — the per-refinement cost of the drift-immune loop detector
+    (ops/descriptor.py)."""
+    import jax
+
+    from icp_tpu.ops.descriptor import descriptor_distances, scan_context
+
+    rng = np.random.default_rng(17)
+    t, n = 1024, 1024
+    pts = jnp.asarray(rng.uniform(-20, 20, (t, n, 2)).astype(np.float32))
+    mask = jnp.ones((t, n), dtype=bool)
+
+    build = jax.jit(lambda p, m: scan_context(p, m, max_radius=30.0))
+    _progress("descriptor: compiling 1024-scan build ...")
+    descs = build(pts, mask)
+    float(jnp.sum(descs))
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        descs = build(pts, mask)
+        float(jnp.sum(descs))
+    build_ms = (time.perf_counter() - t0) / REPEATS * 1e3
+
+    retrieve = jax.jit(lambda d: descriptor_distances(d)[0])
+    _progress("descriptor: compiling 1024x1024 retrieval ...")
+    dist = retrieve(descs)
+    float(jnp.sum(dist))
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        dist = retrieve(descs)
+        float(jnp.sum(dist))
+    ret_ms = (time.perf_counter() - t0) / REPEATS * 1e3
+    metrics.append(
+        {
+            "metric": "scan_context_build_1024_ms",
+            "value": round(build_ms, 2),
+            "unit": "ms per 1,024-scan descriptor batch (N=1024 pts/scan, 20x60 grid)",
+            "vs_baseline": None,
+        }
+    )
+    metrics.append(
+        {
+            "metric": "scan_context_retrieval_1024kf_ms",
+            "value": round(ret_ms, 2),
+            "unit": "ms per all-pairs min-over-60-shifts retrieval at 1,024 "
+            "keyframes (the per-refinement loop-detection cost)",
+            "vs_baseline": None,
+        }
+    )
+    _progress(f"descriptor: build {build_ms:.1f} ms, retrieval {ret_ms:.1f} ms")
+
+
 def run_queen_3d(metrics, jnp, icp):
     """3D per-iteration latency at queen.ply scale (10,720-point clouds)."""
     import jax
@@ -1024,6 +1077,7 @@ def main():
             run_matrix,
             run_gicp,
             run_ndt,
+            run_descriptor,
             run_queen_3d,
             run_pose_graph,
             run_roofline,

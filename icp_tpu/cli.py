@@ -424,6 +424,9 @@ def cmd_odometry(args):
             angle_threshold=args.keyframe_angle,
             loop_every=args.loop_every,
             loop_radius=args.loop_radius or 2.0,
+            loop_detector="descriptor" if args.loop_descriptor else "radius",
+            descriptor_range=args.loop_descriptor,
+            descriptor_max_distance=args.descriptor_max_distance,
             loop_min_separation=args.loop_min_separation,
             loop_max_cost=args.loop_max_cost,
             loop_weight=args.loop_weight,

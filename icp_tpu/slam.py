@@ -80,6 +80,9 @@ class OnlineSlam:
         angle_threshold: float = 0.1,
         loop_every: int = 8,
         loop_radius: float = 2.0,
+        loop_detector: str = "radius",
+        descriptor_range: float | None = None,
+        descriptor_max_distance: float = 0.2,
         loop_min_separation: int = 10,
         loop_max_candidates: int = 16,
         loop_max_cost: float | None = None,
@@ -101,6 +104,19 @@ class OnlineSlam:
         self._ta = angle_threshold
         self._loop_every = loop_every
         self._loop_radius = loop_radius
+        if loop_detector not in ("radius", "descriptor"):
+            raise ValueError(
+                f"loop_detector must be 'radius' or 'descriptor', got "
+                f"{loop_detector!r}"
+            )
+        if loop_detector == "descriptor" and descriptor_range is None:
+            raise ValueError(
+                "loop_detector='descriptor' needs descriptor_range (sensor range)"
+            )
+        self._loop_detector = loop_detector
+        self._desc_range = descriptor_range
+        self._desc_max_dist = descriptor_max_distance
+        self._kf_descs: list = []  # one Scan Context per keyframe
         self._loop_min_sep = loop_min_separation
         self._loop_max_cands = loop_max_candidates
         self._loop_max_cost = loop_max_cost
@@ -266,6 +282,16 @@ class OnlineSlam:
         self._pose = RigidTransform(
             jnp.asarray(state["pose_rot"]), jnp.asarray(state["pose_trans"])
         )
+        if self._loop_detector == "descriptor":
+            # Descriptors are a pure function of the restored clouds —
+            # recompute rather than serialize (keeps checkpoints lean and
+            # the resume bit-identity trivially intact).
+            from .ops.descriptor import scan_context
+
+            self._kf_descs = [
+                scan_context(c.points, c.mask, max_radius=self._desc_range)
+                for c in self._kf_clouds
+            ]
 
     def finalize(self) -> bool:
         """Flush: run one final closure search + robust solve over whatever
@@ -296,6 +322,13 @@ class OnlineSlam:
             )
         self._kf_clouds.append(scan)
         self._kf_poses.append(pose)
+        if self._loop_detector == "descriptor":
+            # Descriptors are immutable per scan: compute once at promotion.
+            from .ops.descriptor import scan_context
+
+            self._kf_descs.append(
+                scan_context(scan.points, scan.mask, max_radius=self._desc_range)
+            )
         self._cur_kf_pose = pose
 
     def _refine(self) -> bool:
@@ -304,11 +337,25 @@ class OnlineSlam:
 
         poses = self.keyframe_poses
         k = len(self._kf_poses)
-        cands = pose_graph.find_loop_candidates(
-            poses, radius=self._loop_radius,
-            min_separation=self._loop_min_sep,
-            max_candidates=self._loop_max_cands,
-        )
+        yaw_by_pair: dict[tuple[int, int], float] = {}
+        if self._loop_detector == "descriptor":
+            from .ops.descriptor import find_loop_candidates_descriptor
+
+            cands, yaws = find_loop_candidates_descriptor(
+                jnp.stack(self._kf_descs), self._desc_max_dist,
+                min_separation=self._loop_min_sep,
+                max_candidates=self._loop_max_cands,
+            )
+            yaw_by_pair = {
+                (int(i), int(j)): float(y)
+                for (i, j), y in zip(np.asarray(cands).reshape(-1, 2), np.asarray(yaws))
+            }
+        else:
+            cands = pose_graph.find_loop_candidates(
+                poses, radius=self._loop_radius,
+                min_separation=self._loop_min_sep,
+                max_candidates=self._loop_max_cands,
+            )
         fresh = [
             (int(i), int(j))
             for i, j in np.asarray(cands).reshape(-1, 2)
@@ -324,9 +371,19 @@ class OnlineSlam:
                 jnp.stack([c.points for c in self._kf_clouds]),
                 jnp.stack([c.count for c in self._kf_clouds]),
             )
+            guesses = None
+            if self._loop_detector == "descriptor":
+                from .ops.descriptor import yaw_seeds
+
+                guesses = yaw_seeds(
+                    stack,
+                    jnp.asarray(padded, dtype=jnp.int32),
+                    jnp.asarray([yaw_by_pair[p] for p in padded], stack.dtype),
+                )
             edges, meas, _ = pose_graph.register_loop_closures(
                 stack, poses, jnp.asarray(padded, dtype=jnp.int32),
                 self._method, self._config, max_cost=self._loop_max_cost,
+                guesses=guesses,
             )
             edges_np = np.asarray(edges)
             seen = set(self._loop_edges)

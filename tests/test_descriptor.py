@@ -256,3 +256,58 @@ def test_run_slam_descriptor_requires_range(rng):
         slam.run_slam(stack, method, cfg, loop_detector="descriptor")
     with pytest.raises(ValueError):
         slam.run_slam(stack, method, cfg, loop_detector="magic")
+
+
+def test_online_slam_descriptor_detector(rng):
+    """OnlineSlam with appearance retrieval: descriptors captured at
+    keyframe promotion, candidates from Scan Context distance, closures
+    yaw-seeded — the live end pose snaps back on the revisit."""
+    import math
+
+    from icp_tpu import slam
+
+    world = distinctive_scan_2d(rng, n=400) * 2.5
+    t_steps, radius_m = 20, 1.5
+    scans = []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = radius_m * math.cos(phi), radius_m * math.sin(phi), 0.4 * math.sin(phi)
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        pts += rng.normal(0, 0.08, pts.shape)
+        scans.append(
+            cloud.from_points(jnp.asarray(pts), capacity=world.shape[0])
+        )
+    cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, cfg,
+        translation_threshold=0.2, angle_threshold=0.1,
+        loop_every=4,
+        loop_detector="descriptor", descriptor_range=30.0,
+        descriptor_max_distance=0.2,
+        loop_min_separation=8,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+    )
+    updates = [online.add_scan(s) for s in scans]
+    online.finalize()
+    assert updates[-1].num_closures >= 0  # stream completed
+    assert len(online._loop_edges) >= 1, "descriptor detector found no closure"
+    end_err = float(
+        np.linalg.norm(np.asarray(online.keyframe_poses.translation)[-1])
+        - 0.0
+    )
+    # True end keyframe pose ~ identity (loop returns to start).
+    assert abs(end_err) < 0.1, end_err
+
+
+def test_online_slam_descriptor_requires_range():
+    from icp_tpu import slam
+
+    method = icp.from_method("trimmed", 2)
+    cfg = icp.DriverConfig(max_iterations=5)
+    with pytest.raises(ValueError):
+        slam.OnlineSlam(method, cfg, loop_detector="descriptor")
+    with pytest.raises(ValueError):
+        slam.OnlineSlam(method, cfg, loop_detector="nope")
