@@ -122,9 +122,11 @@ def test_rotated_scan_matches_with_yaw(rng):
     # Shift-to-yaw convention is pinned by test_yaw_seeds_convention below;
     # here just check the magnitude matches within one sector bin.
     got = float(shift[0, 1]) * 2 * np.pi / sectors
-    wrapped = min(abs(got - true_yaw), abs(got - true_yaw + 2 * np.pi), abs(got - true_yaw - 2 * np.pi))
-    alt = min(abs(-got - true_yaw), abs(-got - true_yaw + 2 * np.pi), abs(-got - true_yaw - 2 * np.pi))
-    assert min(wrapped, alt) <= 2 * np.pi / sectors + 1e-9
+
+    def wrap_err(y):
+        return min(abs(y - true_yaw + k * 2 * np.pi) for k in (-1, 0, 1))
+
+    assert min(wrap_err(got), wrap_err(-got)) <= 2 * np.pi / sectors + 1e-9
 
 
 def test_yaw_seeds_convention(rng):
