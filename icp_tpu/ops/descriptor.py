@@ -153,24 +153,29 @@ def ring_key(desc: Array) -> Array:
     return jnp.mean(desc, axis=-1)
 
 
-def descriptor_distances(descs: Array) -> tuple[Array, Array]:
-    """All-pairs Scan Context distance over ``descs (T, R, S)``.
+def descriptor_query(queries: Array, db: Array) -> tuple[Array, Array]:
+    """Scan Context distance of every query against every database entry.
 
-    Returns ``(dist (T, T), shift (T, T) int32)``: ``dist[i, j]`` is the
-    min-over-shifts mean column-wise cosine distance between descriptor i
-    and descriptor j rotated by ``shift[i, j]`` sectors — the shift at the
-    minimum is the yaw hypothesis aligning scan j to scan i
-    (``yaw ~ 2*pi*shift/S``).  Kim & Kim 2018 eq. (5)-(6), batched: one
-    ``(T, RS) x (T, RS)`` einsum per shift, min-folded with lax.scan.
+    ``queries (Q, R, S)`` vs ``db (K, R, S)`` -> ``(dist (Q, K), shift
+    (Q, K) int32)``: ``dist[q, k]`` is the min-over-shifts mean
+    column-wise cosine distance between query q and database entry k
+    rotated by ``shift[q, k]`` sectors — the shift at the minimum is the
+    yaw hypothesis aligning scan k to scan q (``yaw ~ 2*pi*shift/S``).
+    Kim & Kim 2018 eq. (5)-(6), batched: one ``(Q, RS) x (K, RS)`` einsum
+    per shift, min-folded with lax.scan.
     """
-    t, rings, sectors = descs.shape
-    norms = jnp.linalg.norm(descs, axis=-2, keepdims=True)  # column norms
-    unit = descs / jnp.maximum(norms, jnp.finfo(descs.dtype).tiny)
+    sectors = queries.shape[-1]
+
+    def unitize(d):
+        norms = jnp.linalg.norm(d, axis=-2, keepdims=True)  # column norms
+        return d / jnp.maximum(norms, jnp.finfo(d.dtype).tiny)
+
+    uq, uk = unitize(queries), unitize(db)
 
     def one_shift(carry, s):
         best, arg = carry
-        rolled = jnp.roll(unit, -s, axis=-1)
-        sim = jnp.einsum("irs,jrs->ij", unit, rolled, precision=HIGHEST)
+        rolled = jnp.roll(uk, -s, axis=-1)
+        sim = jnp.einsum("irs,jrs->ij", uq, rolled, precision=HIGHEST)
         # Mean cosine distance over all S columns; an empty column's unit
         # vector is 0, so empty-vs-anything contributes the full distance
         # 1 — the original definition.
@@ -181,13 +186,19 @@ def descriptor_distances(descs: Array) -> tuple[Array, Array]:
         return (best, arg), None
 
     init = (
-        jnp.full((t, t), jnp.inf, descs.dtype),
-        jnp.zeros((t, t), jnp.int32),
+        jnp.full((queries.shape[0], db.shape[0]), jnp.inf, queries.dtype),
+        jnp.zeros((queries.shape[0], db.shape[0]), jnp.int32),
     )
     (dist, shift), _ = jax.lax.scan(
         one_shift, init, jnp.arange(sectors, dtype=jnp.int32)
     )
     return dist, shift
+
+
+def descriptor_distances(descs: Array) -> tuple[Array, Array]:
+    """All-pairs Scan Context distance over ``descs (T, R, S)`` —
+    :func:`descriptor_query` of the stack against itself."""
+    return descriptor_query(descs, descs)
 
 
 def find_loop_candidates_descriptor(

@@ -612,3 +612,108 @@ def run_slam(
         graph_costs=costs,
         edge_weights=weights,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class RelocResult:
+    """Outcome of :func:`relocalize`: the recovered WORLD pose of the
+    query scan, the matched keyframe, and the evidence behind the match."""
+
+    pose: RigidTransform
+    keyframe: int
+    cost: float
+    descriptor_distance: float
+
+
+def relocalize(
+    scan: PointCloud,
+    keyframes: PointCloud,
+    keyframe_poses: RigidTransform,
+    method: Method,
+    config: DriverConfig,
+    *,
+    descriptor_range: float,
+    max_distance: float = 0.3,
+    top_k: int = 3,
+    max_cost: float | None = None,
+    keyframe_descriptors=None,
+) -> RelocResult | None:
+    """Global relocalization (the "kidnapped robot" recovery): find where
+    a scan is in an existing keyframe map with NO pose prior.
+
+    Scan Context retrieval proposes the ``top_k`` most similar keyframes
+    (``max_distance`` gates the appearance match), each candidate
+    registration is seeded with the descriptor's yaw estimate, and the
+    lowest-cost registration (optionally gated by ``max_cost``) wins.  The
+    returned pose is the scan's WORLD pose: ``keyframe_pose ∘ T`` where T
+    registers the scan onto the matched keyframe (the
+    :func:`icp_tpu.pose_graph.register_loop_closures` convention).
+
+    ``keyframe_descriptors`` (``(K, R, S)``, from
+    :func:`icp_tpu.ops.descriptor.scan_context` with the SAME
+    ``descriptor_range``) skips recomputing the database — an online
+    system keeps it incrementally (as :class:`OnlineSlam` does).  Returns
+    None when no keyframe passes the appearance gate (or ``max_cost``).
+    No C++ counterpart: the reference has no retrieval at all.
+    """
+    from .driver import converge
+    from .ops.descriptor import descriptor_query, scan_context, yaw_seeds
+
+    if keyframe_descriptors is None:
+        keyframe_descriptors = scan_context(
+            keyframes.points, keyframes.mask, max_radius=descriptor_range
+        )
+    q_desc = scan_context(scan.points, scan.mask, max_radius=descriptor_range)
+    # Keyframes on the QUERY axis, the scan on the DB axis: shift[k, 0]
+    # then aligns the scan to keyframe k — exactly the "source j relative
+    # to target i" convention yaw_seeds expects (the transposed call would
+    # hand it the inverse rotation).
+    dist, shift = descriptor_query(keyframe_descriptors, q_desc[None])
+    dist = np.asarray(dist[:, 0])
+    shift = np.asarray(shift[:, 0])
+    k = min(top_k, dist.shape[0])
+    order = np.argsort(dist)[:k]
+    order = order[dist[order] < max_distance]
+    if order.size == 0:
+        return None
+
+    sectors = keyframe_descriptors.shape[-1]
+    yaw = shift[order].astype(np.float64) * (2 * np.pi / sectors)
+    yaw = np.where(yaw > np.pi, yaw - 2 * np.pi, yaw)
+    # Pairs in register_loop_closures' (i=target kf, j=source scan) layout:
+    # stack the scan behind the keyframes so yaw_seeds sees one cloud set.
+    kf_idx = jnp.asarray(order, dtype=jnp.int32)
+    nkf = keyframes.points.shape[0]
+    all_pts = jnp.concatenate([keyframes.points, scan.points[None]], axis=0)
+    all_cnt = jnp.concatenate(
+        [keyframes.count, jnp.asarray([scan.count], dtype=keyframes.count.dtype)]
+    )
+    stack = PointCloud(all_pts, all_cnt)
+    pairs = jnp.stack(
+        [kf_idx, jnp.full((order.size,), nkf, dtype=jnp.int32)], axis=-1
+    )
+    seeds = yaw_seeds(stack, pairs, jnp.asarray(yaw, scan.dtype))
+
+    src = PointCloud(
+        jnp.broadcast_to(scan.points, (order.size,) + scan.points.shape),
+        jnp.broadcast_to(scan.count, (order.size,)),
+    )
+    tgt = PointCloud(keyframes.points[kf_idx], keyframes.count[kf_idx])
+    result, _ = converge(method, src, tgt, seeds, config)
+    costs = np.asarray(result.cost)
+    best = int(np.argmin(costs))
+    if max_cost is not None and costs[best] > max_cost:
+        return None
+    kf = int(order[best])
+    t_rel = RigidTransform(
+        result.transform.rotation[best], result.transform.translation[best]
+    )
+    kf_pose = RigidTransform(
+        keyframe_poses.rotation[kf], keyframe_poses.translation[kf]
+    )
+    return RelocResult(
+        pose=geometry.compose(kf_pose, t_rel),
+        keyframe=kf,
+        cost=float(costs[best]),
+        descriptor_distance=float(dist[kf]),
+    )

@@ -313,3 +313,122 @@ def test_online_slam_descriptor_requires_range():
         slam.OnlineSlam(method, cfg, loop_detector="descriptor")
     with pytest.raises(ValueError):
         slam.OnlineSlam(method, cfg, loop_detector="nope")
+
+
+def _keyframe_map(rng, t_steps=12):
+    """A keyframe database around the distinctive world with known poses.
+
+    Returns (keyframe clouds stack, world poses, the world array)."""
+    import math
+
+    from icp_tpu import slam  # noqa: F401  (parity with other tests)
+
+    world = distinctive_scan_2d(rng, n=400) * 2.5
+    clouds, poses_r, poses_t = [], [], []
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / t_steps
+        px, py = 1.5 * math.cos(phi), 1.5 * math.sin(phi)
+        th = 0.5 * math.sin(phi)
+        c, s = np.cos(th), np.sin(th)
+        rm = np.array([[c, -s], [s, c]])
+        pts = (world - [px, py]) @ rm  # sensor-frame scan
+        pts += rng.normal(0, 0.02, pts.shape)
+        clouds.append(pts)
+        # World pose maps scan-local -> world: pts = (w - p) @ Rm gives
+        # w = pts @ Rm.T + p, i.e. per point w = Rm @ pt + p in the column
+        # convention geometry.apply uses — rotation Rm, translation p
+        # (verified numerically below at a non-identity keyframe).
+        poses_r.append(rm)
+        poses_t.append(np.array([px, py]))
+    stack = cloud.PointCloud(
+        jnp.asarray(np.stack(clouds)), jnp.full((t_steps,), world.shape[0], dtype=jnp.int32)
+    )
+    poses = geometry.RigidTransform(
+        jnp.asarray(np.stack(poses_r)), jnp.asarray(np.stack(poses_t))
+    )
+    # Sanity: applying pose k to scan k must reproduce the world points
+    # (k=3 has a non-identity rotation, so the convention is actually
+    # exercised).
+    w3 = np.asarray(
+        geometry.apply(
+            geometry.RigidTransform(poses.rotation[3], poses.translation[3]),
+            stack.points[3],
+        )
+    )
+    assert np.abs(w3 - world).max() < 0.2
+    return stack, poses, world
+
+
+def test_relocalize_recovers_world_pose(rng):
+    """Kidnapped-robot recovery: a new scan from a known (but unprovided)
+    pose is localized in the keyframe map via descriptor retrieval +
+    yaw-seeded registration."""
+    import math
+
+    from icp_tpu import slam
+
+    kfs, poses, world = _keyframe_map(rng)
+    # A query scan from a pose BETWEEN keyframes, heading rotated 1.1
+    # rad — large enough that a wrong-sign yaw seed leaves ICP's basin
+    # (the 0.7 rad version passed even with the direction inverted).
+    px, py, th = 1.3 * math.cos(0.4), 1.3 * math.sin(0.4), 1.1
+    c, s = np.cos(th), np.sin(th)
+    rm = np.array([[c, -s], [s, c]])
+    q = (world - [px, py]) @ rm + rng.normal(0, 0.02, world.shape)
+    scan = cloud.from_points(jnp.asarray(q), capacity=world.shape[0])
+
+    cfg = icp.DriverConfig(max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    res = slam.relocalize(
+        scan, kfs, poses, method, cfg,
+        descriptor_range=45.0, max_distance=0.4, top_k=3,
+    )
+    assert res is not None
+    got_t = np.asarray(res.pose.translation)
+    np.testing.assert_allclose(got_t, [px, py], atol=0.05)
+    got_r = np.asarray(res.pose.rotation)
+    np.testing.assert_allclose(got_r, rm, atol=0.05)
+
+
+def test_relocalize_rejects_unknown_place(rng):
+    from icp_tpu import slam
+
+    kfs, poses, world = _keyframe_map(rng)
+    elsewhere = distinctive_scan_2d(np.random.default_rng(4242)) * 2.5
+    pad = np.zeros((world.shape[0] - elsewhere.shape[0], 2))
+    q = np.concatenate([elsewhere, pad])
+    scan = cloud.PointCloud(
+        jnp.asarray(q), jnp.asarray(elsewhere.shape[0], dtype=jnp.int32)
+    )
+    cfg = icp.DriverConfig(max_iterations=30)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    res = slam.relocalize(
+        scan, kfs, poses, method, cfg,
+        descriptor_range=45.0, max_distance=0.15, top_k=3,
+    )
+    assert res is None
+
+
+def test_relocalize_precomputed_db_matches(rng):
+    from icp_tpu import slam
+    from icp_tpu.ops.descriptor import scan_context as sc
+
+    kfs, poses, world = _keyframe_map(rng)
+    q = world + rng.normal(0, 0.02, world.shape)  # at the origin, yaw 0
+    scan = cloud.from_points(jnp.asarray(q), capacity=world.shape[0])
+    cfg = icp.DriverConfig(max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    db = sc(kfs.points, kfs.mask, max_radius=45.0)
+    r1 = slam.relocalize(
+        scan, kfs, poses, method, cfg, descriptor_range=45.0,
+        max_distance=0.45, keyframe_descriptors=db,
+    )
+    r2 = slam.relocalize(
+        scan, kfs, poses, method, cfg, descriptor_range=45.0, max_distance=0.45
+    )
+    assert r1 is not None and r2 is not None
+    assert r1.keyframe == r2.keyframe
+    np.testing.assert_array_equal(
+        np.asarray(r1.pose.translation), np.asarray(r2.pose.translation)
+    )
+    np.testing.assert_allclose(np.asarray(r1.pose.translation), [0, 0], atol=0.05)
