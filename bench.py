@@ -341,6 +341,39 @@ def run_ndt(metrics, jnp, icp):
     best_ndt = time_iterate(m_ndt, "dense one-hot matmul")
     best_sorted = time_iterate(m_ndt_sorted, "sorted searchsorted+gather")
 
+    # D2D (Gaussians vs Gaussians): the moving set is the scan's ~V cells
+    # instead of its 4k points — the map-to-map/submap-alignment form.
+    m_d2d = icp.from_method(
+        "ndt", 3, icp.Config(dim=3, cell_size=1.0, cells=8192, variant="d2d")
+    )
+    src_maps = jax.jit(m_d2d.precompute)(src)
+    state0_d = m_d2d.with_precomputed(src_maps, maps).init(src, tgt, icp.identity(3))
+
+    @jax.jit
+    def run_d(state):
+        return jax.lax.fori_loop(0, n, lambda _, s: m_d2d.iterate(s), state)
+
+    _progress("ndt: compiling 64k map-to-map d2d iterate ...")
+    state_d = run_d(state0_d)
+    float(jnp.sum(state_d.match_cost))
+    best_d2d = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_d = run_d(state0_d)
+        float(jnp.sum(state_d.match_cost))
+        best_d2d = min(best_d2d, (time.perf_counter() - t0) / n * 1e3)
+    metrics.append(
+        {
+            "metric": "map64k_ndt_d2d_iteration_ms",
+            "value": round(best_d2d, 3),
+            "unit": "ms/iteration (distribution-to-distribution: scan's "
+            "Gaussian cells vs the 64k-map table; baseline = the p2d "
+            "dense row)",
+            "vs_baseline": None,
+        }
+    )
+    _progress(f"ndt: d2d {best_d2d:.2f} ms/iter")
+
     m_tr = icp.from_method("trimmed", 3, icp.Config(max_distance=1.0))
     state0t = m_tr.init(src, tgt, icp.identity(3))
 

@@ -47,7 +47,12 @@ grids), ``min_points`` (default 4), ``min_eigenvalue_ratio`` (default
 1e-2), ``line_search`` (default 1), ``lookup`` (``"dense"`` default — the
 exact-key one-hot matmul selection that rides the MXU; ``"sorted"`` — the
 O(log V) searchsorted+gather path, faster on CPU backends where gathers
-are cheap and V is large), ``dim``.
+are cheap and V is large), ``variant`` (``"p2d"`` default;
+``"d2d"`` = distribution-to-distribution, Stoyanov et al. 2012: the
+SOURCE is also voxelized and its Gaussians register against the target's
+under the Gaussian-product covariance ``R Σ_s Rᵀ + Σ_t`` — V cells
+instead of N points per iteration, the natural form for map-to-map and
+submap alignment), ``dim``.
 
 Map-capacity overflow is recorded on the state (``state.maps.overflowed``,
 one bool per grid x batch lane); deployments assert it off once per shape,
@@ -93,17 +98,32 @@ class NdtState:
     match_cost: Array  # (..., N) mean-over-grids score deficit in [0, 1]
 
 
-def _lookup_one_grid(query: Array, grid: NdtMap):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NdtD2dState:
+    """State of the distribution-to-distribution variant: the moving set
+    is the SOURCE map's Gaussians, not the raw points."""
+
+    transform: RigidTransform
+    source: PointCloud
+    target: PointCloud
+    maps: NdtMap  # target maps: batch dims, then G axis, then V slots
+    src_map: NdtMap  # source map, grid 0 only: batch dims, then V slots
+    match_cost: Array  # (..., V) mean-over-grids deficit per source cell
+
+
+def _lookup_one_grid(query: Array, grid: NdtMap, include_covs: bool = False):
     """Batched lookup: ``query (..., N, D)`` against a map whose arrays
     carry the same leading batch dims (none on the G axis)."""
     batch = query.shape[:-2]
+    fn = lambda q, g: lookup_cells(q, g, include_covs=include_covs)  # noqa: E731
     if not batch:
-        return lookup_cells(query, grid)
+        return fn(query, grid)
     flat_q = query.reshape((-1,) + query.shape[-2:])
     flat_m = jax.tree.map(
         lambda x: x.reshape((-1,) + x.shape[len(batch):]), grid
     )
-    out = jax.vmap(lookup_cells)(flat_q, flat_m)
+    out = jax.vmap(fn)(flat_q, flat_m)
     return jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]), out)
 
 
@@ -117,6 +137,9 @@ def create(config: Config) -> Method:
     lookup = str(config.get("lookup", "dense"))
     if lookup not in ("dense", "sorted"):
         raise ValueError(f"ndt lookup must be 'dense' or 'sorted', got {lookup!r}")
+    variant = str(config.get("variant", "p2d"))
+    if variant not in ("p2d", "d2d"):
+        raise ValueError(f"ndt variant must be 'p2d' or 'd2d', got {variant!r}")
     dim = int(config.get("dim", 2))
 
     def precompute(cloud: PointCloud) -> NdtMap:
@@ -261,6 +284,175 @@ def create(config: Config) -> Method:
             iterate=iterate,
             cost=cost,
             precompute=precompute,
+        )
+
+    # ---- D2D variant (Stoyanov et al. 2012): Gaussians vs Gaussians ----
+
+    def _src_grid0(maps_src: NdtMap, nb: int) -> NdtMap:
+        """Grid 0 of the (possibly overlapping) source maps — D2D moves
+        ONE Gaussian set; the target side keeps the 2^D smoothing."""
+        return jax.tree.map(
+            lambda x: jax.lax.index_in_dim(x, 0, axis=nb, keepdims=False),
+            maps_src,
+        )
+
+    def _d2d_stats(transform, src_map: NdtMap, maps: NdtMap, n_grids: int):
+        """(transformed means, resid, combined inverse covariance, hit)
+        with a (..., G, V, ...) layout.
+
+        The combined covariance is ``R Σ_s Rᵀ + Σ_t`` — the Gaussian-
+        product form; its inverse is recomputed from the CURRENT rotation
+        every evaluation (the covariance derivative is dropped from the
+        GN step itself, the standard D2D approximation)."""
+        mu = src_map.means  # (..., V, D)
+        a_cur = geometry.apply(transform, mu)
+        r = transform.rotation
+        rot_cov = jnp.einsum(
+            "...ab,...vbc,...dc->...vad", r, src_map.covs, r, precision=HIGHEST
+        )
+        q = jnp.broadcast_to(
+            a_cur[..., None, :, :],
+            a_cur.shape[:-2] + (n_grids,) + a_cur.shape[-2:],
+        )
+        if lookup == "dense":
+            means_t, _, hit, _, covs_t = lookup_cells_dense(
+                q, maps, include_covs=True
+            )
+        else:
+            means_t, _, hit, _, covs_t = _lookup_one_grid(
+                q, maps, include_covs=True
+            )
+        combined = rot_cov[..., None, :, :, :] + covs_t
+        # Misses carry covs_t = 0; rot_cov alone is SPD (regularized), so
+        # the inverse stays finite and the hit mask zeroes the term.
+        icov = jnp.linalg.inv(combined)
+        return a_cur, q - means_t, icov, hit.astype(mu.dtype)
+
+    def _d2d_deficit(transform, src_map: NdtMap, maps: NdtMap, n_grids: int):
+        """Per-source-cell mean-over-grids score deficit ``(..., V)``."""
+        _, resid, icov, hit = _d2d_stats(transform, src_map, maps, n_grids)
+        mahal = jnp.einsum(
+            "...ni,...nij,...nj->...n", resid, icov, resid, precision=HIGHEST
+        )
+        deficit = jnp.where(hit > 0, 1.0 - jnp.exp(-0.5 * mahal), 1.0)
+        return jnp.mean(deficit, axis=-2)
+
+    def _init_d2d_with(source, target, guess, maps_t, src_map) -> NdtD2dState:
+        n_grids = maps_t.keys.shape[len(source.batch_shape)]
+        deficit = _d2d_deficit(guess, src_map, maps_t, n_grids)
+        mc = jnp.where(src_map.valid, deficit, jnp.inf)
+        return NdtD2dState(guess, source, target, maps_t, src_map, mc)
+
+    def init_d2d(source, target, guess) -> NdtD2dState:
+        nb = len(source.batch_shape)
+        return _init_d2d_with(
+            source, target, guess, precompute(target),
+            _src_grid0(precompute(source), nb),
+        )
+
+    def iterate_d2d(state: NdtD2dState) -> NdtD2dState:
+        src_map = state.src_map
+        maps = state.maps
+        nb = len(state.source.batch_shape)
+        n_grids = maps.keys.shape[nb]
+        svalid = src_map.valid.astype(src_map.means.dtype)
+
+        a_cur, resid, icov, hit = _d2d_stats(
+            state.transform, src_map, maps, n_grids
+        )
+        jac = _jacobian_rows(a_cur, dim)  # (..., V, D, dof)
+        dof = jac.shape[-1]
+        mahal = jnp.einsum(
+            "...ni,...nij,...nj->...n", resid, icov, resid, precision=HIGHEST
+        )
+        w = svalid[..., None, :] * hit * jnp.exp(-0.5 * mahal)  # (..., G, V)
+        wj = jnp.einsum("...gnij,...njk->...gnik", icov, jac, precision=HIGHEST)
+        jtj = jnp.einsum(
+            "...nik,...gnil,...gn->...kl", jac, wj, w, precision=HIGHEST
+        )
+        jtr = jnp.einsum(
+            "...nik,...gnij,...gnj,...gn->...k",
+            jac, icov, resid, w, precision=HIGHEST,
+        )
+        eye = jnp.eye(dof, dtype=a_cur.dtype)
+        damped = (
+            jtj
+            + 1e-9 * jnp.trace(jtj, axis1=-2, axis2=-1)[..., None, None] * eye
+            + 1e-20 * eye
+        )
+        xi = -jnp.linalg.solve(damped, jtr[..., None])[..., 0]
+
+        n_valid = jnp.maximum(jnp.sum(svalid, axis=-1), 1.0)
+
+        def post_cost(transform):
+            deficit = (
+                _d2d_deficit(transform, src_map, maps, n_grids) * svalid
+            )
+            return deficit, jnp.sum(deficit, axis=-1) / n_valid
+
+        t_full = geometry.compose(lie.exp(xi, dim), state.transform)
+        if line_search:
+            t_half = geometry.compose(lie.exp(0.5 * xi, dim), state.transform)
+            cands = [t_full, t_half, state.transform]
+            scored = [post_cost(t) for t in cands]
+            means_ = jnp.stack([m for _, m in scored], axis=-1)
+            best = jnp.argmin(means_, axis=-1)
+
+            def sel(values):
+                stacked = jnp.stack(values, axis=-1)
+                b = best.reshape(
+                    best.shape + (1,) * (stacked.ndim - best.ndim - 1) + (1,)
+                )
+                return jnp.take_along_axis(stacked, b, axis=-1)[..., 0]
+
+            new_transform = geometry.RigidTransform(
+                sel([t.rotation for t in cands]),
+                sel([t.translation for t in cands]),
+            )
+            deficit = sel([m for m, _ in scored])
+        else:
+            new_transform = t_full
+            deficit, _ = post_cost(new_transform)
+        mc = jnp.where(src_map.valid, deficit, jnp.inf)
+        return dataclasses.replace(
+            state, transform=new_transform, match_cost=mc
+        )
+
+    def cost_d2d(state: NdtD2dState) -> Array:
+        valid = state.src_map.valid
+        finite = jnp.where(valid, state.match_cost, 0.0)
+        n = jnp.maximum(
+            jnp.sum(valid, axis=-1).astype(finite.dtype), 1.0
+        )
+        return jnp.sqrt(jnp.sum(finite, axis=-1) / n)
+
+    def with_precomputed_d2d(maps_a, maps_b) -> Method:
+        # D2D consumes BOTH sides' maps (source grid 0 + target grids).
+        if maps_a is None:
+            raise ValueError("ndt d2d needs the source's precomputed maps")
+
+        def init_pre(s, t, g):
+            nb = len(s.batch_shape)
+            return _init_d2d_with(s, t, g, maps_b, _src_grid0(maps_a, nb))
+
+        return Method(
+            name="ndt",
+            dim=dim,
+            init=init_pre,
+            iterate=iterate_d2d,
+            cost=cost_d2d,
+            precompute=precompute,
+        )
+
+    if variant == "d2d":
+        return Method(
+            name="ndt",
+            dim=dim,
+            init=init_d2d,
+            iterate=iterate_d2d,
+            cost=cost_d2d,
+            precompute=precompute,
+            with_precomputed=with_precomputed_d2d,
         )
 
     return Method(

@@ -72,10 +72,13 @@ class NdtMap(NamedTuple):
     cell_size: Array  # () or (...,) bin side length
     offset: Array  # (..., D) grid shift added before binning
     overflowed: Array  # (...,) bool — more occupied cells than capacity
+    covs: Array  # (..., V, D, D) regularized covariances (inv_covs^-1;
+    # D2D-NDT needs the forward form to build R Σ_s Rᵀ + Σ_t)
 
 
-def _regularize_inverse(cov: Array, min_ratio: float) -> Array:
-    """Clamp eigenvalues to ``min_ratio * lambda_max`` and invert.
+def _regularize_inverse(cov: Array, min_ratio: float) -> tuple[Array, Array]:
+    """Clamp eigenvalues to ``min_ratio * lambda_max``; return
+    ``(regularized inverse, regularized covariance)``.
 
     Magnusson 2009 §6.2 (the standard 3D-NDT conditioning): near-singular
     directions (planar/linear cells) get a floor proportional to the
@@ -88,9 +91,13 @@ def _regularize_inverse(cov: Array, min_ratio: float) -> Array:
         min_ratio * lam_max, jnp.asarray(jnp.finfo(cov.dtype).tiny ** 0.5, cov.dtype)
     )
     lam = jnp.maximum(eigvals, floor)
-    return jnp.einsum(
+    inv = jnp.einsum(
         "...ik,...k,...jk->...ij", eigvecs, 1.0 / lam, eigvecs, precision=HIGHEST
     )
+    reg = jnp.einsum(
+        "...ik,...k,...jk->...ij", eigvecs, lam, eigvecs, precision=HIGHEST
+    )
+    return inv, reg
 
 
 def _build_single(
@@ -147,8 +154,9 @@ def _build_single(
     # are all trailing.  Identity statistics keep the inverse finite.
     eye = jnp.eye(dim, dtype=dtype)
     cov = jnp.where(cell_valid[:, None, None], cov, eye)
-    inv_cov = _regularize_inverse(cov, min_ratio)
+    inv_cov, reg_cov = _regularize_inverse(cov, min_ratio)
     inv_cov = jnp.where(cell_valid[:, None, None], inv_cov, eye)
+    reg_cov = jnp.where(cell_valid[:, None, None], reg_cov, eye)
     return NdtMap(
         keys=keys,
         means=jnp.where(cell_valid[:, None], mean, 0.0),
@@ -158,6 +166,7 @@ def _build_single(
         cell_size=jnp.asarray(cell_size, dtype),
         offset=jnp.asarray(offset, dtype),
         overflowed=overflowed,
+        covs=reg_cov,
     )
 
 
@@ -233,7 +242,9 @@ def build_overlapping_ndt_maps(
     return jax.vmap(one)(offsets)
 
 
-def lookup_cells_dense(query: Array, ndt: NdtMap) -> tuple[Array, Array, Array, Array]:
+def lookup_cells_dense(
+    query: Array, ndt: NdtMap, include_covs: bool = False
+):
     """MXU formulation of :func:`lookup_cells` — same contract, same values.
 
     The sorted-table searchsorted+gather path scalarizes on TPU (random
@@ -277,21 +288,33 @@ def lookup_cells_dense(query: Array, ndt: NdtMap) -> tuple[Array, Array, Array, 
         ),
         ndt.means.shape[:-1] + (2,),
     )
-    stats = jnp.concatenate([lead, ndt.means, ic_flat], axis=-1)
+    cols = [lead, ndt.means, ic_flat]
+    if include_covs:
+        # D2D-NDT also needs the FORWARD covariance; one wider matmul
+        # beats a second one-hot pass.
+        cols.append(ndt.covs.reshape(ndt.covs.shape[:-3] + (v, dim * dim)))
+    stats = jnp.concatenate(cols, axis=-1)
     sel = jnp.einsum("...nv,...vk->...nk", onehot, stats, precision=HIGHEST)
     hit = sel[..., 0] > 0.5
     idx = sel[..., 1].astype(jnp.int32)
     means = sel[..., 2 : 2 + dim]
-    inv_covs = sel[..., 2 + dim :].reshape(query.shape[:-1] + (dim, dim))
+    dd = dim * dim
+    inv_covs = sel[..., 2 + dim : 2 + dim + dd].reshape(
+        query.shape[:-1] + (dim, dim)
+    )
+    if include_covs:
+        covs = sel[..., 2 + dim + dd :].reshape(query.shape[:-1] + (dim, dim))
+        return means, inv_covs, hit, idx, covs
     return means, inv_covs, hit, idx
 
 
-def lookup_cells(query: Array, ndt: NdtMap) -> tuple[Array, Array, Array, Array]:
+def lookup_cells(query: Array, ndt: NdtMap, include_covs: bool = False):
     """Cell statistics containing each query point.
 
     ``query (..., N, D)`` against an UNBATCHED map (leading map batch dims
     must be vmapped by the caller) -> ``(means (..., N, D),
-    inv_covs (..., N, D, D), valid (..., N) bool, idx (..., N) int32)``.
+    inv_covs (..., N, D, D), valid (..., N) bool, idx (..., N) int32)``,
+    plus ``covs (..., N, D, D)`` when ``include_covs``.
     Queries in unoccupied/invalid cells return ``valid=False`` (stats from
     an arbitrary slot; callers weight them 0).
     """
@@ -304,4 +327,6 @@ def lookup_cells(query: Array, ndt: NdtMap) -> tuple[Array, Array, Array, Array]
     )
     means = jnp.take(ndt.means, idx, axis=0)
     inv_covs = jnp.take(ndt.inv_covs, idx, axis=0)
+    if include_covs:
+        return means, inv_covs, hit, idx, jnp.take(ndt.covs, idx, axis=0)
     return means, inv_covs, hit, idx

@@ -412,3 +412,87 @@ def test_invalid_mid_table_cell_keeps_keys_sorted(rng):
     assert np.asarray(hit_s).tolist() == [True, False, True]
     np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_d))
     np.testing.assert_array_equal(np.asarray(idx_s)[[0, 2]], np.asarray(idx_d)[[0, 2]])
+
+
+def test_ndt_covs_field_inverts(rng):
+    """NdtMap.covs is the regularized forward covariance: covs @ inv_covs
+    = I on valid cells (the D2D variant consumes the forward form)."""
+    pts = rng.uniform(-6, 6, (400, 2))
+    ndt = build_ndt_map(jnp.asarray(pts), jnp.ones(400, bool), 1.5, 128, min_points=4)
+    v = np.asarray(ndt.valid)
+    prod = np.einsum("vij,vjk->vik", np.asarray(ndt.covs)[v], np.asarray(ndt.inv_covs)[v])
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(2), prod.shape), atol=1e-8)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_ndt_d2d_recovers_transform(rng, dim):
+    """D2D: source Gaussians vs target Gaussians recover the transform."""
+    if dim == 2:
+        a_pts = room_cloud_2d(rng)
+        true = geometry.from_angle_2d(np.float64(0.1), np.array([0.35, -0.25]))
+        cfg = icp.Config(variant="d2d")
+    else:
+        a_pts = room_cloud_3d(rng)
+        r = rot_zyx(0.05, -0.04, 0.08)
+        true = geometry.RigidTransform(jnp.asarray(r), jnp.asarray([0.25, -0.2, 0.1]))
+        cfg = icp.Config(variant="d2d", cells=512)
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    method = icp.from_method("ndt", dim, cfg)
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    result, _ = icp.converge(method, src, tgt, geometry.identity(dim, dtype=src.dtype), DRIVER)
+    np.testing.assert_allclose(
+        np.asarray(result.transform.translation), np.asarray(true.translation), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.transform.rotation), np.asarray(true.rotation), atol=1e-2
+    )
+
+
+def test_ndt_d2d_precompute_reuse(rng):
+    a_pts = room_cloud_2d(rng, n_per_wall=100)
+    true = geometry.from_angle_2d(np.float64(0.08), np.array([0.2, -0.1]))
+    b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+    src = cloud.from_points(jnp.asarray(a_pts))
+    tgt = cloud.from_points(jnp.asarray(b_pts))
+    method = icp.from_method("ndt", 2, icp.Config(variant="d2d"))
+    maps_a = method.precompute(src)
+    maps_b = method.precompute(tgt)
+    reuse = method.with_precomputed(maps_a, maps_b)
+    guess = geometry.identity(2, dtype=src.dtype)
+    r0, _ = icp.converge(method, src, tgt, guess, DRIVER)
+    r1, _ = icp.converge(reuse, src, tgt, guess, DRIVER)
+    np.testing.assert_array_equal(
+        np.asarray(r0.transform.translation), np.asarray(r1.transform.translation)
+    )
+    with pytest.raises(ValueError):
+        method.with_precomputed(None, maps_b)
+
+
+def test_ndt_d2d_batched_matches_single(rng):
+    a_pts = room_cloud_2d(rng, n_per_wall=100)
+    method = icp.from_method("ndt", 2, icp.Config(variant="d2d"))
+    singles, srcs, tgts = [], [], []
+    for ang in (0.05, -0.07):
+        true = geometry.from_angle_2d(np.float64(ang), np.array([0.15, -0.1]))
+        b_pts = np.asarray(geometry.apply(true, jnp.asarray(a_pts)))
+        src = cloud.from_points(jnp.asarray(a_pts))
+        tgt = cloud.from_points(jnp.asarray(b_pts))
+        srcs.append(src); tgts.append(tgt)
+        res, _ = icp.converge(method, src, tgt, geometry.identity(2, dtype=src.dtype), DRIVER)
+        singles.append(res)
+    res_b, _ = icp.converge(
+        method, cloud.stack(srcs), cloud.stack(tgts),
+        geometry.identity(2, batch_shape=(2,), dtype=srcs[0].dtype), DRIVER,
+    )
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(res_b.transform.translation)[i],
+            np.asarray(singles[i].transform.translation),
+            atol=1e-9,
+        )
+
+
+def test_ndt_variant_validated():
+    with pytest.raises(ValueError):
+        icp.from_method("ndt", 2, icp.Config(variant="p2p"))
