@@ -293,6 +293,35 @@ class OnlineSlam:
                 for c in self._kf_clouds
             ]
 
+    def relocalize(self, scan: PointCloud, **kwargs) -> "RelocResult | None":
+        """Wake-up-lost recovery against this session's own keyframe map.
+
+        Requires ``loop_detector='descriptor'`` (the incremental descriptor
+        database doubles as the relocalization index — no recompute).
+        Forwards to :func:`relocalize` with the current keyframe clouds,
+        refined poses, and cached descriptors; ``kwargs`` override its
+        gates (``max_distance``, ``top_k``, ``max_cost``).  Does NOT
+        modify the SLAM state — the caller decides whether to trust the
+        recovered pose (e.g. re-seed a fresh session from it).
+        """
+        if self._loop_detector != "descriptor":
+            raise ValueError(
+                "relocalize needs loop_detector='descriptor' (the keyframe "
+                "descriptor database is only maintained in that mode)"
+            )
+        if not self._kf_clouds:
+            return None
+        stack = PointCloud(
+            jnp.stack([c.points for c in self._kf_clouds]),
+            jnp.stack([c.count for c in self._kf_clouds]),
+        )
+        return relocalize(
+            scan, stack, self.keyframe_poses, self._method, self._config,
+            descriptor_range=self._desc_range,
+            keyframe_descriptors=jnp.stack(self._kf_descs),
+            **kwargs,
+        )
+
     def finalize(self) -> bool:
         """Flush: run one final closure search + robust solve over whatever
         arrived since the last periodic refinement (revisits usually land in

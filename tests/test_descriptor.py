@@ -432,3 +432,71 @@ def test_relocalize_precomputed_db_matches(rng):
         np.asarray(r1.pose.translation), np.asarray(r2.pose.translation)
     )
     np.testing.assert_allclose(np.asarray(r1.pose.translation), [0, 0], atol=0.05)
+
+
+def test_scan_context_3d_retrieval(rng):
+    """3D max-height descriptors: a yaw-rotated copy of the same 3D place
+    matches closely; a different 3D place does not."""
+    def place_3d(r):
+        base = distinctive_scan_2d(r, n=300)
+        z = r.uniform(0.0, 3.0, (300, 1))
+        return np.concatenate([base, z], axis=1)
+
+    pts = place_3d(rng)
+    th = 0.8
+    c, s = np.cos(th), np.sin(th)
+    rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    pts_r = pts @ rz.T
+    other = place_3d(np.random.default_rng(77))
+    descs = scan_context(
+        jnp.asarray(np.stack([pts, pts_r, other])),
+        jnp.ones((3, 300), bool),
+        max_radius=12.0,
+    )
+    dist, _ = descriptor_distances(descs)
+    assert float(dist[0, 1]) < 0.35, float(dist[0, 1])
+    assert float(dist[0, 2]) > 1.5 * float(dist[0, 1])
+
+
+def test_online_slam_relocalize(rng):
+    """OnlineSlam's descriptor database doubles as a relocalization index:
+    a kidnapped scan is recovered against the streamed keyframe map."""
+    import math
+
+    from icp_tpu import slam
+
+    world = distinctive_scan_2d(rng, n=400) * 2.5
+    cfg = icp.DriverConfig(max_iterations=50, angle_tolerance=1e-5, translation_tolerance=1e-5)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, cfg,
+        translation_threshold=0.2, angle_threshold=0.1,
+        loop_detector="descriptor", descriptor_range=30.0,
+        loop_min_separation=8,
+    )
+    for k in range(10):
+        phi = math.pi * k / 9
+        px, py = 1.2 * math.cos(phi), 1.2 * math.sin(phi)
+        pts = world - [px, py] + rng.normal(0, 0.03, world.shape)
+        online.add_scan(cloud.from_points(jnp.asarray(pts), capacity=world.shape[0]))
+
+    # Kidnapped scan: known pose, yaw 0.9, never streamed.
+    p_true = np.array([0.5, 0.3])
+    th = 0.9
+    c, s = np.cos(th), np.sin(th)
+    rm = np.array([[c, -s], [s, c]])
+    q = (world - p_true) @ rm + rng.normal(0, 0.03, world.shape)
+    res = online.relocalize(
+        cloud.from_points(jnp.asarray(q), capacity=world.shape[0]),
+        max_distance=0.45,
+    )
+    assert res is not None
+    # Poses live in the MAP frame (anchored at scan 0, world (1.2, 0)).
+    np.testing.assert_allclose(
+        np.asarray(res.pose.translation), p_true - np.array([1.2, 0.0]), atol=0.05
+    )
+
+    # radius-mode sessions have no descriptor index.
+    radius_mode = slam.OnlineSlam(method, cfg)
+    with pytest.raises(ValueError):
+        radius_mode.relocalize(cloud.from_points(jnp.asarray(q), capacity=world.shape[0]))
