@@ -74,6 +74,7 @@ from ..ops.ndt import (
     NdtMap,
     build_ndt_map,
     build_overlapping_ndt_maps,
+    inverse_small_spd,
     lookup_cells,
     lookup_cells_dense,
 )
@@ -325,7 +326,9 @@ def create(config: Config) -> Method:
         combined = rot_cov[..., None, :, :, :] + covs_t
         # Misses carry covs_t = 0; rot_cov alone is SPD (regularized), so
         # the inverse stays finite and the hit mask zeroes the term.
-        icov = jnp.linalg.inv(combined)
+        # Closed-form adjugate inverse: jnp.linalg.inv lowers to batched
+        # LU on TPU and measured 184 ms/iter at the 64k bench shape.
+        icov = inverse_small_spd(combined)
         return a_cur, q - means_t, icov, hit.astype(mu.dtype)
 
     def _d2d_deficit(transform, src_map: NdtMap, maps: NdtMap, n_grids: int):

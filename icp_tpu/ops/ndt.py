@@ -330,3 +330,37 @@ def lookup_cells(query: Array, ndt: NdtMap, include_covs: bool = False):
     if include_covs:
         return means, inv_covs, hit, idx, jnp.take(ndt.covs, idx, axis=0)
     return means, inv_covs, hit, idx
+
+
+def inverse_small_spd(m: Array) -> Array:
+    """Closed-form inverse of batched 2x2 / 3x3 SPD matrices (adjugate /
+    det) — pure elementwise VPU math.  ``jnp.linalg.inv`` lowers to a
+    batched LU on TPU and measured 60x slower at the D2D bench shape
+    (65k 3x3 inversions inside the iterate: 184 ms/iter vs ~3 ms)."""
+    d = m.shape[-1]
+    if d == 2:
+        a, b = m[..., 0, 0], m[..., 0, 1]
+        c, e = m[..., 1, 0], m[..., 1, 1]
+        det = a * e - b * c
+        adj = jnp.stack(
+            [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+        )
+        return adj / det[..., None, None]
+    if d == 3:
+        a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+        e, f, g = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+        h, i, j = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+        ca = f * j - g * i
+        cb = g * h - e * j
+        cc = e * i - f * h
+        det = a * ca + b * cb + c * cc
+        adj = jnp.stack(
+            [
+                jnp.stack([ca, c * i - b * j, b * g - c * f], -1),
+                jnp.stack([cb, a * j - c * h, c * e - a * g], -1),
+                jnp.stack([cc, b * h - a * i, a * f - b * e], -1),
+            ],
+            -2,
+        )
+        return adj / det[..., None, None]
+    raise ValueError(f"inverse_small_spd supports D in (2, 3), got {d}")

@@ -496,3 +496,17 @@ def test_ndt_d2d_batched_matches_single(rng):
 def test_ndt_variant_validated():
     with pytest.raises(ValueError):
         icp.from_method("ndt", 2, icp.Config(variant="p2p"))
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_inverse_small_spd_matches_numpy(rng, dim):
+    """Closed-form adjugate inverse (the D2D hot path — jnp.linalg.inv's
+    batched LU measured 60x slower on TPU) matches numpy on SPD input."""
+    from icp_tpu.ops.ndt import inverse_small_spd
+
+    a = rng.normal(size=(200, dim, dim))
+    spd = np.einsum("nij,nkj->nik", a, a) + 0.1 * np.eye(dim)
+    got = np.asarray(inverse_small_spd(jnp.asarray(spd)))
+    np.testing.assert_allclose(got, np.linalg.inv(spd), rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError):
+        inverse_small_spd(jnp.eye(4))
