@@ -1140,6 +1140,21 @@ def main():
         _progress(
             f"partial/CPU run: wrote {artifact} (bench_results.json untouched)"
         )
+    else:
+        # One-step bench→docs pipeline: the artifact writer and the docs
+        # splicer must be a single action, or every real-chip run leaves the
+        # docs-sync gate (tests/test_utils.py) red until someone resplices.
+        try:
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "scripts", "sync_bench_docs.py")],
+                check=True,
+                capture_output=True,
+            )
+            _progress("docs respliced from fresh artifact (sync_bench_docs.py)")
+        except Exception as e:
+            _progress(f"docs resplice failed (run scripts/sync_bench_docs.py): {e}")
     final = dict(headline)
     if len(metrics) > 1:
         final["extra_metrics"] = [m for m in metrics if m is not headline]
