@@ -134,7 +134,17 @@ def _build_single(
 
     cnt = jax.ops.segment_sum(wf, segc, num_segments=capacity)  # (V,)
     psum = jax.ops.segment_sum(pts_s * wf[:, None], segc, num_segments=capacity)
-    outer = jnp.einsum("ni,nj->nij", pts_s, pts_s, precision=HIGHEST)
+    # Second moments accumulate in a per-cell-anchored frame: the raw
+    # E[pp^T] - mu mu^T form cancels catastrophically in f32 once
+    # |p| >> cell_size (at ~300 m with 0.5 m cells the rounding error
+    # rivals the true within-cell variance).  Shifting each point by its
+    # own cell's corner — constant within a segment, so the covariance is
+    # unchanged — keeps the contraction on O(cell_size) values, where the
+    # subtraction is exact to within a few ulps of the variance itself.
+    anchor = jnp.floor((pts_s + offset) / cell_size) * cell_size - offset
+    rel = pts_s - anchor
+    rsum = jax.ops.segment_sum(rel * wf[:, None], segc, num_segments=capacity)
+    outer = jnp.einsum("ni,nj->nij", rel, rel, precision=HIGHEST)
     osum = jax.ops.segment_sum(outer * wf[:, None, None], segc, num_segments=capacity)
     keys = jax.ops.segment_min(
         jnp.where(w, key_s, sentinel), segc, num_segments=capacity
@@ -142,8 +152,9 @@ def _build_single(
 
     denom = jnp.maximum(cnt, 1.0)
     mean = psum / denom[:, None]
+    mean_rel = rsum / denom[:, None]
     cov = osum / denom[:, None, None] - jnp.einsum(
-        "ni,nj->nij", mean, mean, precision=HIGHEST
+        "ni,nj->nij", mean_rel, mean_rel, precision=HIGHEST
     )
     cell_valid = cnt >= min_points
     # Underpopulated cells keep their REAL key (the table must stay in

@@ -109,6 +109,42 @@ def test_build_map_covariance_matches_numpy(rng):
     )
 
 
+def test_build_map_covariance_far_from_origin_f32(rng):
+    # Regression: the uncentered E[xx^T] - mu mu^T form cancels
+    # catastrophically in f32 for cells far from the origin (~300 m with
+    # 0.5 m cells: the p^2 rounding error ~1e-2 rivals the true within-cell
+    # variance).  The builder accumulates second moments in a per-cell-
+    # anchored frame, so the f32 map must agree with the f64 NumPy oracle
+    # to f32-roundoff of the VARIANCE, not of the squared coordinates.
+    center = np.asarray([300.2, -297.4])
+    pts64 = center + rng.normal(0, 0.05, (128, 2))
+    pts32 = jnp.asarray(pts64, jnp.float32)
+    ndt = build_ndt_map(
+        pts32, jnp.ones(128, bool), 0.5, 16, min_points=1,
+        min_eigenvalue_ratio=1e-12,
+    )
+    counts = np.asarray(ndt.counts)
+    valid = np.asarray(ndt.valid)
+    cells64 = np.floor(pts64 / 0.5).astype(np.int64)
+    # Check the best-populated cell's covariance against the f64 centered
+    # oracle over the SAME membership (f32 binning may disagree with f64
+    # binning for boundary points, so recompute membership in f32).
+    cells32 = np.floor(np.asarray(pts32, np.float64) / 0.5).astype(np.int64)
+    i = int(np.argmax(np.where(valid, counts, 0)))
+    mu_i = np.asarray(ndt.means)[i]
+    cell_i = tuple(np.floor(mu_i / 0.5).astype(np.int64))
+    members = np.asarray(pts32, np.float64)[(cells32 == np.asarray(cell_i)).all(axis=1)]
+    assert len(members) == int(counts[i]) >= 8
+    d = members - members.mean(axis=0)
+    oracle_cov = d.T @ d / len(members)
+    got_cov = np.asarray(ndt.covs)[i]
+    # Variance scale ~2.5e-3; uncentered-form error would be ~1e-2 (x4 the
+    # signal); the anchored form lands within ~1e-5 absolute.
+    np.testing.assert_allclose(got_cov, oracle_cov, atol=5e-5)
+    rel_err = np.abs(got_cov - oracle_cov).max() / np.abs(oracle_cov).max()
+    assert rel_err < 0.02, rel_err
+
+
 def test_build_map_min_points_gates_cells(rng):
     # 10 points in one cell, 2 in another.
     pts = np.concatenate([rng.uniform(0.1, 0.9, (10, 2)), rng.uniform(5.1, 5.4, (2, 2))])
