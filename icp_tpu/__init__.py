@@ -25,6 +25,7 @@ Quick start (mirrors the reference README usage, ``README.md:22-39``)::
 from . import (
     aot,
     checkpoint,
+    eval,
     geometry,
     io,
     lie,
@@ -36,6 +37,7 @@ from . import (
     parallel,
     pose_graph,
     resilient,
+    robustness,
     serve,
     slam,
 )

@@ -315,6 +315,26 @@ def _cli_capacity(cap: int, args) -> int:
     return cap if getattr(args, "exact_capacity", False) else bucket_capacity(cap)
 
 
+def _eval_against_tum(poses, gt_path: str, dim: int) -> None:
+    """ATE (Umeyama-aligned) + RPE of ``poses`` against a TUM ground-truth
+    file, as one JSON line on stdout (the `--eval` contract)."""
+    from . import eval as _ev
+    from .io.trajectory import read_tum
+
+    _, gt = read_tum(gt_path, dim=dim)
+    n_gt = np.asarray(gt.translation).shape[0]
+    n_est = np.asarray(poses.translation).shape[0]
+    if n_gt != n_est:
+        raise SystemExit(
+            f"--eval: ground truth has {n_gt} poses but the trajectory has "
+            f"{n_est} (one TUM line per scan required)"
+        )
+    record = {"eval_against": gt_path}
+    record.update(_ev.ate(poses, gt).as_dict())
+    record.update(_ev.rpe(poses, gt).as_dict())
+    print(json.dumps(record))
+
+
 def cmd_odometry(args):
     import jax.numpy as jnp
 
@@ -389,6 +409,8 @@ def cmd_odometry(args):
 
             save_pytree(args.save, {"rotation": poses.rotation, "translation": poses.translation})
             print(f"saved trajectory to {args.save}", file=sys.stderr)
+        if args.eval:
+            _eval_against_tum(poses, args.eval, dim)
         return
 
     if not args.ply:
@@ -435,8 +457,10 @@ def cmd_odometry(args):
             robust_scale=args.robust_scale,
             closure_information=args.closure_information,
         )
+        live_poses = []
         for t, scan in enumerate(stream_clouds):
             u = online.add_scan(scan)
+            live_poses.append(u.pose)
             print(json.dumps({
                 "scan": args.scans[t],
                 "rotation": np.asarray(u.pose.rotation).tolist(),
@@ -458,6 +482,14 @@ def cmd_odometry(args):
 
             save_pytree(args.save, {"rotation": kf.rotation, "translation": kf.translation})
             print(f"saved keyframe trajectory to {args.save}", file=sys.stderr)
+        if args.eval:
+            # Evaluate the LIVE per-scan poses (what the robot acted on),
+            # not the post-hoc keyframe graph — the online-latency contract.
+            live = icp.RigidTransform(
+                jnp.stack([p.rotation for p in live_poses]),
+                jnp.stack([p.translation for p in live_poses]),
+            )
+            _eval_against_tum(live, args.eval, dim)
         return
 
     wrap = None
@@ -590,6 +622,8 @@ def cmd_odometry(args):
 
         save_pytree(args.save, {"rotation": poses.rotation, "translation": poses.translation})
         print(f"saved trajectory to {args.save}", file=sys.stderr)
+    if args.eval:
+        _eval_against_tum(poses, args.eval, dim)
 
 
 def cmd_graph(args):
@@ -849,6 +883,12 @@ def main(argv=None):
     p_odo.add_argument(
         "--multiscale", action="store_true",
         help="register pairs through the coarse-to-fine pyramid",
+    )
+    p_odo.add_argument(
+        "--eval", metavar="GT_TUM",
+        help="evaluate the trajectory against a TUM ground-truth file "
+        "(one line per scan): prints one JSON record with Umeyama-aligned "
+        "ATE and delta-1 RPE (icp_tpu.eval)",
     )
     _add_driver_flags(p_odo)
     p_odo.set_defaults(fn=cmd_odometry)

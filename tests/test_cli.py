@@ -142,6 +142,64 @@ def test_odometry_conf_loop_closure_robust(capsys):
     assert 3.0 < t_last[0] < 6.0 and abs(t_last[1]) < 0.5
 
 
+def test_odometry_eval_against_tum(capsys, tmp_path):
+    """--eval GT_TUM appends one JSON record with Umeyama ATE + RPE
+    (icp_tpu.eval) after the per-scan records; short seq1 odometry is
+    centimeter-accurate, so the metrics must come out small but nonzero."""
+    import jax.numpy as jnp
+
+    from icp_tpu.geometry import RigidTransform
+    from icp_tpu.io.trajectory import write_tum
+
+    n = 8
+    with open(os.path.join(SEQ1, "groundtruth.json")) as f:
+        gt = np.asarray(json.load(f)["poses"])[:n]
+    c, s = np.cos(gt[:, 2]), np.sin(gt[:, 2])
+    gt_rt = RigidTransform(
+        jnp.asarray(np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)),
+        jnp.asarray(gt[:, :2]),
+    )
+    gt_path = str(tmp_path / "gt.tum")
+    write_tum(gt_path, gt_rt)
+
+    scans = [os.path.join(SEQ1, f"sweep_{k:03d}.conf") for k in range(n)]
+    cli.main([
+        "odometry", "--scans", *scans, "-m", "trimmed",
+        "--max-iterations", "150",
+        "--angle-tolerance-deg", "1e-4", "--translation-tolerance", "1e-6",
+        "--eval", gt_path,
+    ])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == n + 1
+    rec = json.loads(lines[-1])
+    assert rec["eval_against"] == gt_path
+    assert 0.0 < rec["ate_rmse"] < 0.05
+    assert 0.0 < rec["rpe_trans_rmse"] < 0.05
+    assert rec["rpe_delta"] == 1
+    assert rec["ate_max"] >= rec["ate_rmse"] >= rec["ate_mean"] * 0.99
+
+
+def test_odometry_eval_length_mismatch_exits(capsys, tmp_path):
+    """--eval with the wrong number of ground-truth lines fails loudly
+    (SystemExit), not with a broadcasting surprise."""
+    import jax.numpy as jnp
+
+    from icp_tpu.geometry import RigidTransform
+    from icp_tpu.io.trajectory import write_tum
+
+    eye = np.broadcast_to(np.eye(2), (3, 2, 2)).copy()
+    write_tum(
+        str(tmp_path / "bad.tum"),
+        RigidTransform(jnp.asarray(eye), jnp.zeros((3, 2))),
+    )
+    scans = [os.path.join(SEQ1, f"sweep_{k:03d}.conf") for k in range(2)]
+    with pytest.raises(SystemExit):
+        cli.main([
+            "odometry", "--scans", *scans, "-m", "trimmed",
+            "--eval", str(tmp_path / "bad.tum"),
+        ])
+
+
 def test_odometry_ply_3d_sequence(capsys):
     """--ply odometry over the bundled 3D sweeps: 3D dispatch, gicp config
     plumbing, SE(3) records."""

@@ -139,14 +139,18 @@ def test_seq1_corrupted_closure_robust_ate():
     )
     mask = jnp.arange(graph.num_edges) >= graph.num_edges - k
 
+    from icp_tpu import eval as tev
+
+    c, s = np.cos(gt[:, 2]), np.sin(gt[:, 2])
+    gt_rt = geometry.RigidTransform(
+        jnp.asarray(np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)),
+        jnp.asarray(gt[:, :2]),
+    )
+
     def ate(poses):
-        # Ground truth in the scan-0 frame (the trajectory's gauge).
-        x0, y0, th0 = gt[0]
-        c, s = np.cos(th0), np.sin(th0)
-        r0t = np.array([[c, s], [-s, c]])
-        gt_xy = (gt[:, :2] - [x0, y0]) @ r0t.T
-        err = np.linalg.norm(np.asarray(poses.translation) - gt_xy, axis=-1)
-        return float(err.mean())
+        # Ground truth in the scan-0 frame (the trajectory's gauge) — the
+        # library metric with the first-frame gauge, mean statistic.
+        return tev.ate(poses, gt_rt, align="first").mean
 
     l2, _ = pose_graph.optimize(graph, iterations=20)
     rob, _ = pose_graph.optimize(

@@ -118,10 +118,16 @@ def test_slam_closes_loop_se3():
     assert end_raw > 0.05, end_raw  # odometry accumulated real drift
     assert end_opt < 0.02, (end_raw, end_opt)  # the SE(3) closure removes it
 
+    import jax.numpy as jnp
+
+    from icp_tpu import eval as tev
+    from icp_tpu.geometry import RigidTransform
+
+    gt_rt = RigidTransform(jnp.asarray(rot), jnp.asarray(tr))
+
     def ate(poses):
-        return float(
-            np.sqrt(np.mean(np.sum((np.asarray(poses.translation) - gt_t0) ** 2, -1)))
-        )
+        # Library metric, first-frame gauge (scan-0 frame), RMSE statistic.
+        return tev.ate(poses, gt_rt, align="first").rmse
 
     assert ate(res.poses) <= ate(res.trajectory.poses) + 1e-6
 
