@@ -37,7 +37,6 @@ from . import (
     parallel,
     pose_graph,
     resilient,
-    robustness,
     serve,
     slam,
 )
