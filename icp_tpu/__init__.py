@@ -37,6 +37,7 @@ from . import (
     parallel,
     pose_graph,
     resilient,
+    robustness,
     serve,
     slam,
 )

@@ -642,6 +642,27 @@ def cmd_graph(args):
         "information)",
         file=sys.stderr,
     )
+    if args.outlier_protocol:
+        # Vertigo-style adversarial evaluation (icp_tpu.robustness): inject
+        # wrong closures at the requested rates/structures, solve with each
+        # kernel, report closure precision/recall + ATE vs the clean-solve
+        # oracle.  One JSON record per line (machine-greppable).
+        from . import robustness
+
+        recs = robustness.run_protocol(
+            graph,
+            rates=tuple(float(r) for r in args.outlier_rates.split(",")),
+            modes=tuple(args.outlier_modes.split(",")),
+            kernels=tuple(args.protocol_kernels.split(",")),
+            iterations=args.iterations,
+            solver=args.solver,
+            cg_iterations=args.cg_iterations,
+            seed=args.protocol_seed,
+            scale_passes=args.scale_passes,
+        )
+        for rec in recs:
+            print(json.dumps(rec))
+        return
     robust_mask = None
     robust_scale = args.robust_scale
     if args.robust_kernel != "none" and args.robust_min_separation > 0:
@@ -652,18 +673,29 @@ def cmd_graph(args):
             (ij[:, 1] - ij[:, 0] < 0)
             | (np.abs(ij[:, 1] - ij[:, 0]) >= args.robust_min_separation)
         )
-        if isinstance(robust_scale, str):  # 'auto'
+    if args.robust_kernel != "none" and args.scale_passes > 1:
+        opt, costs, scale, _ = pose_graph.robust_solve(
+            graph, kernel=args.robust_kernel, robust_edges=robust_mask,
+            iterations=args.iterations, solver=args.solver,
+            cg_iterations=args.cg_iterations,
+            robust_scale=args.robust_scale, scale_passes=args.scale_passes,
+        )
+        print(f"robust scale (pass {args.scale_passes}): {scale:.4g}",
+              file=sys.stderr)
+    else:
+        if robust_mask is not None and isinstance(robust_scale, str):  # 'auto'
             robust_scale = pose_graph.auto_robust_scale(
                 graph, iterations=args.iterations, solver=args.solver,
                 robust_edges=robust_mask,
             )
-            print(f"robust scale (auto): {float(robust_scale):.4g}", file=sys.stderr)
-    opt, costs = pose_graph.optimize(
-        graph, iterations=args.iterations, solver=args.solver,
-        cg_iterations=args.cg_iterations,
-        robust=args.robust_kernel, robust_scale=robust_scale,
-        robust_edges=robust_mask,
-    )
+            print(f"robust scale (auto): {float(robust_scale):.4g}",
+                  file=sys.stderr)
+        opt, costs = pose_graph.optimize(
+            graph, iterations=args.iterations, solver=args.solver,
+            cg_iterations=args.cg_iterations,
+            robust=args.robust_kernel, robust_scale=robust_scale,
+            robust_edges=robust_mask,
+        )
     print(
         f"chi2: {float(costs[0]):.6g} -> {float(costs[-1]):.6g} "
         f"({args.iterations} GN iterations, solver {args.solver})",
@@ -861,7 +893,7 @@ def main(argv=None):
         type=lambda s: s if s == "auto" else float(s),
         help="inlier threshold for --robust-kernel in plain residual units "
         "(meters+radians); 'auto' (default) derives it from an L2 pre-solve "
-        "(2x the max closure residual)",
+        "(2x the upper-median closure residual, outlier-tolerant to 50%)",
     )
     p_odo.add_argument(
         "--scan-to-map", action="store_true",
@@ -916,6 +948,22 @@ def main(argv=None):
         help="edges spanning fewer than this many ids stay quadratic "
         "(odometry-like); the kernel acts on the rest (loop-like)",
     )
+    p_g.add_argument(
+        "--scale-passes", type=int, default=1,
+        help="robust-scale re-estimation passes (pose_graph.robust_solve); "
+        "2 = one bounded re-estimate at the robust solution — the "
+        "multi-outlier recipe (BASELINE.md round-4 protocol table)",
+    )
+    p_g.add_argument(
+        "--outlier-protocol", action="store_true",
+        help="run the Vertigo-style outlier-injection evaluation on this "
+        "graph instead of solving it: per (mode, rate, kernel) closure "
+        "precision/recall + ATE vs the clean oracle, one JSON line each",
+    )
+    p_g.add_argument("--outlier-rates", default="0.1,0.2,0.3")
+    p_g.add_argument("--outlier-modes", default="random,clustered")
+    p_g.add_argument("--protocol-kernels", default="none,cauchy,welsch,gnc_gm")
+    p_g.add_argument("--protocol-seed", type=int, default=0)
     p_g.set_defaults(fn=cmd_graph)
 
     p_m = sub.add_parser("methods", help="list registered methods")

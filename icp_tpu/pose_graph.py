@@ -239,6 +239,14 @@ def robust_edge_weights(
     return w, jnp.sqrt(rn2)
 
 
+def _masked_upper_median(rn: Array, keep: Array) -> Array:
+    """Upper median of ``rn`` over ``keep`` (0 if the mask is empty)."""
+    big = jnp.asarray(jnp.inf, rn.dtype)
+    vals = jnp.sort(jnp.where(keep, rn, big))
+    count = jnp.sum(keep)
+    return jnp.where(count > 0, vals[jnp.maximum(count // 2, 0)], jnp.zeros_like(big))
+
+
 def auto_robust_scale(
     graph: PoseGraph,
     iterations: int = 10,
@@ -246,42 +254,57 @@ def auto_robust_scale(
     solver: str = "auto",
     cg_iterations: int = 50,
     robust_edges: Array | None = None,
+    rule: str = "median",
 ) -> Array:
-    """Data-driven robust inlier scale: ``2 · max robust-edge residual`` at
-    the L2 solution.
+    """Data-driven robust inlier scale from an L2 pre-solve.
 
-    A correct closure retains a residual at the L2 optimum set by the
-    odometry chain's stiffness (it cannot be pulled all the way in), so the
-    inlier threshold must sit above that retained level; a wrong closure's
-    inconsistency re-emerges during the GNC anneal even when the L2
-    compromise has hidden it (see :func:`optimize`).  The scale is floored
-    by the MEDIAN residual of the non-robust (odometry) edges — the graph's
-    ambient noise level: when the L2 solve satisfies the closures almost
-    exactly (retained ~ 0), ``2 · max`` alone would land below the
-    perturbation a single GN step introduces, and the GM weight of even a
-    perfect closure cascades to 0 (measured on the clean square scenario:
-    retained 4e-4 m vs odometry noise 7e-3 m).  The floor is HALF the
-    median: at the full median it overshoots the separating window when
-    odometry noise is high relative to the closures' retained residuals
-    (measured on the SE(3) scenario: floor 0.115 kept the wrong closure at
-    w=0.6 while any scale in [0.04, 0.08] rejected it).  Measured on the
-    round-3
-    design scenarios this rule lands in each one's (disjoint!) working
-    window.  Costs one extra L2 solve at the same budget.  Returns a traced
-    scalar — safe to feed straight into :func:`optimize` /
-    :func:`robust_edge_weights` under jit.
+    ``rule='median'`` (default): ``2 · upper-median robust-edge residual``
+    at the L2 solution.  ``rule='max'`` is the legacy round-3 rule
+    (``2 · max``), kept for comparison — it breaks under MULTIPLE outliers
+    of differing magnitude, because the threshold keys to the WORST
+    outlier's residual and inflates past the milder ones (measured,
+    pinned: ``tests/test_robustness.py::test_legacy_max_rule_breaks_on_
+    mixed_magnitude_outliers`` — one 8 m + three 1.5 m wrong closures, the
+    max rule's scale admits all three mild outliers with weight > 0.9; the
+    median rule rejects all four).  The upper median keys to the INLIER
+    bulk instead: it tolerates up to half the robust edges being wrong,
+    and on graphs with one or two closures it EQUALS the max (sorted[k//2]
+    of k<=2 values is the larger), so every single-outlier working window
+    measured in round 3 is preserved bit-for-bit.
+
+    Why a residual statistic at all: a correct closure retains a residual
+    at the L2 optimum set by the odometry chain's stiffness (it cannot be
+    pulled all the way in), so the inlier threshold must sit above that
+    retained level; a wrong closure's inconsistency re-emerges during the
+    GNC anneal even when the L2 compromise has hidden it (see
+    :func:`optimize`).  The scale is floored by HALF the MEDIAN residual
+    of the non-robust (odometry) edges — the graph's ambient noise level:
+    when the L2 solve satisfies the closures almost exactly (retained
+    ~ 0), the closure statistic alone would land below the perturbation a
+    single GN step introduces, and the GM weight of even a perfect closure
+    cascades to 0 (measured on the clean square scenario: retained 4e-4 m
+    vs odometry noise 7e-3 m).  Half, not full: at the full median it
+    overshoots the separating window when odometry noise is high relative
+    to the closures' retained residuals (measured on the SE(3) scenario:
+    floor 0.115 kept the wrong closure at w=0.6 while any scale in
+    [0.04, 0.08] rejected it).  Costs one extra L2 solve at the same
+    budget.  Returns a traced scalar — safe to feed straight into
+    :func:`optimize` / :func:`robust_edge_weights` under jit.
 
     The rule deliberately sits on the REJECTING side of the trade: when the
     trajectory carries large real drift, even a correct long-loop closure
-    retains a residual above 2x the max (the kernel then flags it), because
-    accepting a WRONG closure corrupts the whole map while rejecting a
-    correct one only costs local drift — and the rejection is visible in
-    the :func:`robust_edge_weights` diagnostic, never silent.  Deployments
-    whose odometry drift per loop is large relative to closure accuracy
-    should pass an explicit scale above the expected retained-drift level
-    (measured example: the 25-step circle scenario retains 0.2 m on its
-    true revisit closure; scale 0.8 keeps it, auto ~0.4 flags it).
+    retains a residual above the threshold (the kernel then flags it),
+    because accepting a WRONG closure corrupts the whole map while
+    rejecting a correct one only costs local drift — and the rejection is
+    visible in the :func:`robust_edge_weights` diagnostic, never silent.
+    Deployments whose odometry drift per loop is large relative to closure
+    accuracy should pass an explicit scale above the expected
+    retained-drift level (measured example: the 25-step circle scenario
+    retains 0.2 m on its true revisit closure; scale 0.8 keeps it, auto
+    ~0.4 flags it).
     """
+    if rule not in ("median", "max"):
+        raise ValueError(f"unknown auto-scale rule {rule!r}; 'median' or 'max'")
     base, _ = optimize(
         graph,
         iterations=iterations,
@@ -291,23 +314,19 @@ def auto_robust_scale(
     )
     rn2_base = _geometric_rn2(base, base.poses)
     rn = jnp.sqrt(rn2_base)
+    live = graph.weights > 0
     if robust_edges is not None:
-        closure_max = jnp.max(jnp.where(robust_edges, rn, 0.0))
-        # Median over the non-robust edges only (mask padding/zero-weight
-        # edges out by excluding weight-0 entries from the median).
-        keep = (~robust_edges) & (graph.weights > 0)
-        big = jnp.asarray(jnp.inf, rn.dtype)
-        vals = jnp.sort(jnp.where(keep, rn, big))
-        count = jnp.sum(keep)
-        noise = jnp.where(
-            count > 0, vals[jnp.maximum(count // 2, 0)], jnp.zeros_like(big)
-        )
+        keep_rob = robust_edges & live
+        keep_noise = (~robust_edges) & live
     else:
-        closure_max = jnp.max(rn)
-        vals = jnp.sort(jnp.where(graph.weights > 0, rn, jnp.inf))
-        count = jnp.sum(graph.weights > 0)
-        noise = jnp.where(count > 0, vals[jnp.maximum(count // 2, 0)], 0.0)
-    return jnp.maximum(jnp.maximum(2.0 * closure_max, 0.5 * noise), 1e-3)
+        keep_rob = live
+        keep_noise = live
+    if rule == "max":
+        closure_stat = jnp.max(jnp.where(keep_rob, rn, 0.0))
+    else:
+        closure_stat = _masked_upper_median(rn, keep_rob)
+    noise = _masked_upper_median(rn, keep_noise)
+    return jnp.maximum(jnp.maximum(2.0 * closure_stat, 0.5 * noise), 1e-3)
 
 
 def _geometric_rn2(graph: PoseGraph, poses: RigidTransform) -> Array:
@@ -407,6 +426,7 @@ def optimize(
     robust: str = "none",
     robust_scale: float | str | Array = "auto",
     robust_edges: Array | None = None,
+    gnc_head: float = 0.25,
 ) -> tuple[PoseGraph, Array]:
     """Run Gauss-Newton / IRLS; returns (optimized graph, per-iteration cost).
 
@@ -522,11 +542,25 @@ def optimize(
             rn2_init = jnp.where(robust_edges, rn2_init, 0.0)
         c2 = robust_scale * robust_scale
         mu0 = jnp.maximum(1.0, 2.0 * jnp.max(rn2_init) / c2)
-        head = max(1, iterations // 4)
+        # ``gnc_head`` trades two adversarial regimes that conflict at the
+        # schedule level (both measured, tests/test_robustness.py):
+        # the quadratic head lets a drift-carrying CORRECT closure (often
+        # the max residual, so mu0 keys to it and would bias against it)
+        # pull the trajectory into its basin before any down-weighting —
+        # but it also fully TRUSTS gross outliers for that whole phase,
+        # and with several of them the head commits to a corrupted basin
+        # the anneal cannot leave (measured at 20-30% random outliers:
+        # recall 0.6 with the head vs 1.0 without).  ``gnc_head=0.0`` is
+        # the original Yang et al. shape — anneal from step 1 at
+        # mu0 = 2·max rn²/c², which still starts NEAR-quadratic (the worst
+        # edge's weight is (2/3)², inliers ~1) — the right choice for
+        # multi-outlier graphs; the default 0.25 keeps the round-3
+        # single-bad-closure windows bit-for-bit.
+        head = max(1, int(iterations * gnc_head)) if gnc_head > 0 else 0
         tail = max(1, iterations // 4)
         anneal = max(1, iterations - head - tail)
         k = jnp.arange(iterations, dtype=dtype)
-        frac = jnp.clip((k - (head - 1)) / float(anneal), 0.0, 1.0)
+        frac = jnp.clip((k - max(head - 1, 0)) / float(anneal), 0.0, 1.0)
         mu_quad = jnp.asarray(1e12, dtype=dtype)
         mus = jnp.where(k < head, mu_quad, mu0 ** (1.0 - frac))
     else:
@@ -633,6 +667,128 @@ def optimize(
         [costs, jnp.sum(graph.weights * rho_of(rn2_final, mu_final))[None]]
     )
     return dataclasses.replace(graph, poses=poses), costs
+
+
+def robust_solve(
+    graph: PoseGraph,
+    kernel: str = "welsch",
+    robust_edges: Array | None = None,
+    iterations: int = 30,
+    solver: str = "auto",
+    cg_iterations: int = 50,
+    damping: float = 1e-6,
+    robust_scale: float | str = "auto",
+    scale_passes: int = 2,
+    shrink_bound: float = 8.0,
+    gnc_head: float = 0.25,
+) -> tuple[PoseGraph, Array, float, Array]:
+    """Multi-outlier robust solve: auto scale + bounded iterated
+    re-estimation.  Returns ``(optimized graph, costs, scale, weights)``.
+
+    The single-pass auto scale derives from residuals at the CORRUPTED L2
+    solution — with 10-30% wrong closures the bend inflates every closure's
+    retained residual, so the threshold lands 3-10x above the separating
+    window and mid-magnitude outliers survive (measured on
+    ``ex_data/manhattan/m600.g2o`` with the Vertigo-style injection
+    protocol, :mod:`icp_tpu.robustness`: welsch at the single-pass scale
+    leaves recall 0.69-0.93 and 1.9-4.9 m ATE at 20-30% rates).  This
+    driver closes the loop: solve at the pass-1 scale, re-estimate the
+    scale from the residuals at the ROBUST solution (same median rule —
+    now evaluated on a mostly-unbent trajectory), and re-solve cold.
+
+    Two floors keep the re-estimate from collapsing (both measured on the
+    m600 protocol, BASELINE.md round-4 table):
+
+    * **bootstrap floor** — the lower-quartile closure residual at the
+      INITIAL (odometry) poses.  Each re-solve restarts cold from the
+      odometry init (a warm start from the previous solution can be stuck
+      in the basin an escaped outlier cluster bent — measured: warm at
+      clustered 30% left recall 0.84 / 3.3 m ATE where cold reaches 1.00 /
+      0.018 m), and a redescending kernel only bootstraps if the NEAREST
+      closures keep enough weight at the init to start pulling the
+      trajectory in; the quartile floor guarantees exactly that (without
+      it, the 10%-rate cells collapse to scale s/8 and cut 33% of true
+      closures).
+    * **shrink bound** ``scale / shrink_bound`` per pass — at a
+      well-converged solution the surviving closures' residuals sit AT the
+      noise floor, so an unbounded ``2·median`` collapses below the inlier
+      noise and the kernel feedback-rejects perfect closures (measured:
+      unbounded pass-2 scale 2.4-10 on m600 cut 33-96% of true closures).
+
+    With both in place every m600 cell (random + clustered x 10/20/30%)
+    measures recall 1.00, inliers-kept 1.00, ATE <= 0.018 m vs the
+    outlier-free oracle.  ``scale_passes=2`` (one re-estimation) is the
+    validated default: a THIRD pass re-estimates at an already-converged
+    solution and lands on the same floors, so extra passes buy nothing.
+
+    Scope note (measured, honest): the two-pass recipe assumes outlier
+    residuals separate from inlier retained drift at the pass-1 solution —
+    true at mapping scale (hundreds of closures, m600/m3500).  On tiny
+    high-drift graphs (the round-3 single-bad-closure scenarios: <= 2
+    closures retaining 0.03-0.2 m against odometry noise) pass-1 IS the
+    round-3-validated rule and re-estimation can overshoot; use
+    ``optimize(robust='gnc_gm', robust_scale='auto')`` there
+    (tests/test_robust_posegraph.py pins those windows).
+    """
+    import numpy as np
+
+    if isinstance(robust_scale, str):
+        if robust_scale != "auto":
+            raise ValueError(
+                f"robust_scale must be a float or 'auto', got {robust_scale!r}"
+            )
+        scale = float(
+            auto_robust_scale(
+                graph,
+                iterations=iterations,
+                damping=damping,
+                solver=solver,
+                cg_iterations=cg_iterations,
+                robust_edges=robust_edges,
+            )
+        )
+    else:
+        scale = float(robust_scale)
+
+    def solve(s):
+        return optimize(
+            graph,
+            iterations=iterations,
+            damping=damping,
+            solver=solver,
+            cg_iterations=cg_iterations,
+            robust=kernel,
+            robust_scale=s,
+            robust_edges=robust_edges,
+            gnc_head=gnc_head,
+        )
+
+    live = np.asarray(graph.weights) > 0
+    if robust_edges is not None:
+        rob = np.asarray(robust_edges) & live
+        noise_mask = ~np.asarray(robust_edges) & live
+    else:
+        rob = live
+        noise_mask = live
+    rn_init = np.sqrt(np.asarray(_geometric_rn2(graph, graph.poses)))
+    bootstrap = float(np.quantile(rn_init[rob], 0.25)) if rob.any() else 0.0
+
+    opt, costs = solve(scale)
+    for _ in range(max(0, scale_passes - 1)):
+        rn = np.sqrt(np.asarray(_geometric_rn2(opt, opt.poses)))
+        vals = np.sort(rn[rob])
+        clo = vals[len(vals) // 2] if len(vals) else 0.0
+        nvals = np.sort(rn[noise_mask])
+        noise = nvals[len(nvals) // 2] if len(nvals) else 0.0
+        new_scale = max(
+            2.0 * clo, 0.5 * noise, bootstrap, scale / shrink_bound, 1e-3
+        )
+        if abs(new_scale - scale) <= 1e-9 * scale:
+            break
+        scale = new_scale
+        opt, costs = solve(scale)
+    weights, _ = robust_edge_weights(opt, kernel, scale, robust_edges=robust_edges)
+    return opt, costs, scale, weights
 
 
 @partial(jax.jit, static_argnames=("min_separation", "k"))

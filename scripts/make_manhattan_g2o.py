@@ -9,6 +9,15 @@ workload for ``icp-tpu graph``.
 
 Deterministic (seeded); re-running reproduces the committed file
 byte-for-byte (pinned by ``tests/test_manhattan_g2o.py``).
+
+The bundled M3500-scale variant (the size of Olson's classic benchmark,
+the workload of the round-4 outlier-injection protocol) was generated
+with::
+
+    python scripts/make_manhattan_g2o.py --poses 3500 --bound 30 \
+        --closure-prob 0.15
+
+Defaults reproduce ``m600.g2o`` exactly (do not change them).
 """
 
 import argparse
@@ -30,6 +39,11 @@ def main():
     ap.add_argument("--rot-noise", type=float, default=0.01)
     ap.add_argument("--closure-radius", type=float, default=1.5)
     ap.add_argument("--closure-prob", type=float, default=0.3)
+    ap.add_argument(
+        "--bound", type=float, default=12.0,
+        help="half-width of the Manhattan block the walk is steered back "
+        "into (scale ~ sqrt(poses) for a constant revisit density)",
+    )
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--out", default=os.path.join(REPO, "ex_data", "manhattan"))
     args = ap.parse_args()
@@ -41,9 +55,9 @@ def main():
     poses = [(0.0, 0.0, 0.0)]
     x, y, th = 0.0, 0.0, 0.0
     for _ in range(args.poses - 1):
-        if rng.random() < 0.25 or abs(x) > 12 or abs(y) > 12:
+        if rng.random() < 0.25 or abs(x) > args.bound or abs(y) > args.bound:
             # Turn toward the origin when out of bounds, else randomly.
-            if abs(x) > 12 or abs(y) > 12:
+            if abs(x) > args.bound or abs(y) > args.bound:
                 desired = math.atan2(-y, -x)
                 turn = np.sign(((desired - th + math.pi) % (2 * math.pi)) - math.pi)
             else:
