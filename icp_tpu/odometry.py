@@ -308,13 +308,17 @@ def stream_step_device(
     scan: PointCloud,
     translation_threshold: float,
     angle_threshold: float,
+    guess: RigidTransform | None = None,
 ):
     """Device-side :func:`stream_step`: identical math, but the keyframe
     predicate is returned as a traced boolean instead of being materialized
     with ``float(...)`` — no host synchronization.  Jittable; the building
-    block of :func:`stream_odometry_pipelined`.
+    block of :func:`stream_odometry_pipelined` and the fused online-SLAM
+    step (:func:`icp_tpu.slam._online_step`).
     """
-    result, _ = fn(keyframe, scan, geometry.identity(scan.dim, dtype=scan.dtype))
+    if guess is None:
+        guess = geometry.identity(scan.dim, dtype=scan.dtype)
+    result, _ = fn(keyframe, scan, guess)
     pose = geometry.compose(kf_pose, geometry.inverse(result.transform))
     delta_t = jnp.linalg.norm(pose.translation - kf_pose.translation)
     delta_a = jnp.abs(

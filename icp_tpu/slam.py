@@ -39,6 +39,88 @@ class OnlineUpdate:
     num_closures: int  # accepted closures so far
 
 
+def _masked_median(hist: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """``np.median`` over the LAST ``count`` entries of ``hist`` (newest at
+    the end), as a traced scalar — the device-side twin of the host
+    ``float(np.median(hist))`` in the serial :meth:`OnlineSlam.add_scan`
+    path, including the even-count middle-pair average, so the pipelined
+    mode's anomaly predicate is bit-identical to the serial one."""
+    n = hist.shape[0]
+    valid = jnp.arange(n) >= n - count
+    big = jnp.asarray(jnp.inf, hist.dtype)
+    vals = jnp.sort(jnp.where(valid, hist, big))
+    lo = vals[jnp.maximum((count - 1) // 2, 0)]
+    hi = vals[jnp.maximum(count // 2, 0)]
+    return 0.5 * (lo + hi)
+
+
+def _online_step(
+    fn,
+    prev_scan: PointCloud,
+    prev_pose: RigidTransform,
+    scan: PointCloud,
+    hist: jnp.ndarray,
+    count: jnp.ndarray,
+    retry_factor: float,
+):
+    """One fused pipelined-SLAM advance, entirely on device: scan-to-scan
+    registration (identity seed) + the cost-anomaly coarse retry under
+    ``lax.cond`` (only the taken branch executes at runtime, so the retry
+    converge costs nothing on clean scans).  Returns
+    ``(pose, cost, new_hist, new_count)`` — all traced; the ONLY host
+    materialization in the pipelined path is the deferred promotion
+    predicate one scan later (:meth:`OnlineSlam._materialize_pending`).
+
+    Why scan-to-scan rather than the serial path's scan-to-keyframe: the
+    pipelined dispatch cannot see the promotion decided for the still
+    in-flight previous scan, so a keyframe-anchored registration spans up
+    to TWO keyframe periods with an identity seed — outside trimmed ICP's
+    basin on real corridor data (measured on seq1: 5.6 m end drift vs the
+    serial 0.85 m).  Seeding that doubled gap from the in-flight pose is
+    worse still: in a perceptually aliased corridor the cost is flat along
+    the corridor axis, so whatever motion the seed asserts is accepted and
+    a velocity error integrates linearly (measured: 15 m).  Adjacent scans
+    are ALWAYS one scan of motion apart — identity-seeded registration is
+    well-conditioned regardless of promotion cadence, the previous pose
+    chains as a device value (no host sync), and the accumulated-drift
+    price is modest (measured on seq1: 1.00 m scan-to-scan vs 0.85 m
+    keyframe-anchored, before loop closure).
+
+    The serial path pays a full host round-trip per scan for the anomaly
+    check this step runs on device (``float(result.cost)`` against a host
+    median — measured over the TPU tunnel: the sync dominates the
+    1.4-35 ms of compute, VERDICT round-3 item 2)."""
+    import jax
+
+    from .ops.coarse import coarse_align_2d, coarse_align_3d
+
+    def register(guess):
+        result, _ = fn(prev_scan, scan, guess)
+        # prev->scan registration transform T: pose advances by inv(T)
+        # (the stream_step convention, odometry.py).
+        return (
+            geometry.compose(prev_pose, geometry.inverse(result.transform)),
+            result.cost,
+        )
+
+    pose, cost = register(geometry.identity(scan.dim, dtype=scan.dtype))
+    med = _masked_median(hist, count)
+    anomalous = (count >= 4) & (cost > retry_factor * med)
+    coarse = coarse_align_2d if scan.dim == 2 else coarse_align_3d
+
+    def retry(_):
+        pose2, cost2 = register(coarse(prev_scan, scan))
+        better = cost2 < cost
+        return jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), (pose2, cost2), (pose, cost)
+        )
+
+    pose, cost = jax.lax.cond(anomalous, retry, lambda _: (pose, cost), None)
+    new_hist = jnp.concatenate([hist[1:], cost[None]])
+    new_count = jnp.minimum(count + 1, hist.shape[0])
+    return pose, cost, new_hist, new_count
+
+
 class OnlineSlam:
     """Incremental SLAM: streaming odometry + periodic robust loop closure.
 
@@ -94,7 +176,10 @@ class OnlineSlam:
         gn_solver: str = "dense",
         closure_information: bool = False,
         information_neighbors: int = 10,
+        pipelined: bool = False,
     ):
+        import jax
+
         from .driver import make_converge_fn
 
         self._method = method
@@ -141,6 +226,39 @@ class OnlineSlam:
         self._cost_hist: list[float] = []
         self._retry_factor = 5.0  # cost anomaly threshold vs recent median
 
+        # Pipelined mode (VERDICT round-3 item 2): scan t+1's fused device
+        # step (scan-to-scan registration + device-median anomaly retry,
+        # :func:`_online_step`) is DISPATCHED before scan t's result is
+        # materialized, so the one remaining host sync per scan (the
+        # promotion predicate) overlaps the next scan's device compute —
+        # the stream_odometry_pipelined recipe (odometry.py) applied to
+        # the full SLAM loop.  Semantics deltas vs serial, all pinned by
+        # tests/test_online_slam.py:
+        # * updates return with ONE scan of latency (add_scan yields scan
+        #   t-1's update; flush() drains the last);
+        # * odometry is scan-to-scan (chained device poses) instead of
+        #   scan-to-keyframe — see _online_step for the measured basin
+        #   argument; drift before loop closure is modestly higher (seq1:
+        #   1.00 m vs 0.85 m) and loop closures absorb the difference;
+        # * the promotion predicate is evaluated at materialization
+        #   against the CURRENT keyframe pose (serial cadence), and a
+        #   refinement that lands while a scan is in flight re-anchors it
+        #   EXACTLY (left-compose by the keyframe correction: registration
+        #   is pose-independent, and the predicate is invariant — rotation
+        #   preserves the norm, conjugation preserves the angle).
+        self._pipelined = pipelined
+        self._pending = None  # (scan, pose) — in-flight device step
+        self._prev_scan: PointCloud | None = None  # last dispatched scan
+        self._hist = None  # (16,) device cost buffer (pipelined mode)
+        self._hist_count = None
+        self._correction: RigidTransform | None = None  # refine delta for pending
+        self._device_step = jax.jit(
+            lambda prev_scan, prev_pose, scan, hist, count: _online_step(
+                self._fn, prev_scan, prev_pose, scan, hist, count,
+                self._retry_factor,
+            )
+        )
+
     # -- public API ---------------------------------------------------------
 
     @property
@@ -151,7 +269,12 @@ class OnlineSlam:
             jnp.stack([p.translation for p in self._kf_poses]),
         )
 
-    def add_scan(self, scan: PointCloud) -> OnlineUpdate:
+    def add_scan(self, scan: PointCloud) -> OnlineUpdate | None:
+        """Feed one scan.  Serial mode returns this scan's update; pipelined
+        mode returns the PREVIOUS scan's update (None on the second scan —
+        the first in-flight dispatch) and :meth:`flush` drains the last."""
+        if self._pipelined:
+            return self._add_scan_pipelined(scan)
         if not self._kf_clouds:
             self._pose = geometry.identity(scan.dim, dtype=scan.dtype)
             self._promote(scan, self._pose)
@@ -198,6 +321,90 @@ class OnlineSlam:
                 self._kf_since_refine = 0
         return OnlineUpdate(self._pose, bool(is_kf), refined, len(self._loop_edges))
 
+    def _add_scan_pipelined(self, scan: PointCloud) -> OnlineUpdate | None:
+        if not self._kf_clouds:
+            self._pose = geometry.identity(scan.dim, dtype=scan.dtype)
+            self._promote(scan, self._pose)
+            self._prev_scan = scan
+            self._hist = jnp.zeros((16,), dtype=scan.dtype)
+            self._hist_count = jnp.asarray(0, dtype=jnp.int32)
+            return OnlineUpdate(self._pose, True, False, len(self._loop_edges))
+        # Dispatch scan t against scan t-1 (scan-to-scan; the pose and cost
+        # history chain device-side through the step, so the dispatch needs
+        # no host value at all).  The in-flight previous pose lives in the
+        # pre-refinement frame until it materializes — if a refinement
+        # landed meanwhile, bring the chain into the refined frame first.
+        if self._pending is not None:
+            prev_pose = self._pending[1]
+            if self._correction is not None:
+                prev_pose = geometry.compose(self._correction, prev_pose)
+        else:
+            prev_pose = self._pose
+        pose, _cost, self._hist, self._hist_count = self._device_step(
+            self._prev_scan, prev_pose, scan, self._hist, self._hist_count
+        )
+        self._prev_scan = scan
+        update = self._materialize_pending() if self._pending is not None else None
+        self._pending = (scan, pose)
+        return update
+
+    def _materialize_pending(self) -> OnlineUpdate:
+        """Resolve the in-flight scan: ONE host sync, overlapping whatever
+        was just dispatched; then the usual promotion / periodic-refinement
+        bookkeeping at serial-mode fidelity.
+
+        The promotion predicate is recomputed HERE against the CURRENT
+        keyframe pose, not taken from the dispatch-time device step: at
+        dispatch the step only knows the keyframe as of one scan ago, and
+        judging motion against that stale anchor promotes on ~every scan
+        once per-scan motion exceeds half the threshold — measured on
+        seq1: 119 keyframes vs the serial run's 75, i.e. 1.6x the keyframe
+        hops, each hop spanning a 2-scan registration, compounding to a
+        1.37 m end error vs serial's 6 mm.  Re-anchoring the predicate
+        restores the serial promotion cadence exactly (same thresholds,
+        same keyframe the decision is made against); the one remaining
+        pipeline delta is that the scan REGISTERED against a one-scan-older
+        keyframe (pose accuracy, not cadence)."""
+        scan, pose = self._pending
+        self._pending = None
+        if self._correction is not None:
+            # A refinement ran while this scan was in flight: left-compose
+            # the keyframe correction (exact — see the pipelined-mode note
+            # in __init__).
+            pose = geometry.compose(self._correction, pose)
+            self._correction = None
+        delta_t = jnp.linalg.norm(pose.translation - self._cur_kf_pose.translation)
+        delta_a = geometry.rotation_angle(
+            jnp.matmul(
+                pose.rotation,
+                jnp.swapaxes(self._cur_kf_pose.rotation, -1, -2),
+                precision=geometry.HIGHEST,
+            )
+        )
+        promoted = float(delta_t) > self._tt or abs(float(delta_a)) > self._ta
+        self._pose = pose
+        refined = False
+        if promoted:
+            self._promote(scan, pose)
+            self._kf_since_refine += 1
+            if self._kf_since_refine >= self._loop_every:
+                old_kf = self._cur_kf_pose
+                refined = self._refine()
+                if refined:
+                    self._correction = geometry.compose(
+                        self._cur_kf_pose, geometry.inverse(old_kf)
+                    )
+                self._kf_since_refine = 0
+        return OnlineUpdate(self._pose, promoted, refined, len(self._loop_edges))
+
+    def flush(self) -> OnlineUpdate | None:
+        """Pipelined mode: materialize the in-flight scan (the stream is
+        over / a checkpoint or finalize needs consistent state).  No-op
+        returning None when nothing is pending."""
+        if self._pending is None:
+            return None
+        return self._materialize_pending()
+
     def state_dict(self) -> dict:
         """Full streaming state as a flat dict of numpy arrays — the
         checkpoint payload for crash-resumable online SLAM
@@ -206,7 +413,10 @@ class OnlineSlam:
         (registration is deterministic; everything that affects future
         steps round-trips: keyframe clouds/poses, immutable odometry
         measurements, accepted closures, tried candidate pairs, the refine
-        counter and the cost history)."""
+        counter and the cost history).  Pipelined mode flushes the
+        in-flight scan first (a checkpoint is a stream boundary)."""
+        if self._pipelined:
+            self.flush()
         if not self._kf_clouds:
             return {"num_keyframes": np.asarray(0)}
         out = {
@@ -220,7 +430,18 @@ class OnlineSlam:
             "pose_rot": np.asarray(self._pose.rotation),
             "pose_trans": np.asarray(self._pose.translation),
             "kf_since_refine": np.asarray(self._kf_since_refine),
-            "cost_hist": np.asarray(self._cost_hist, dtype=np.float64),
+            "cost_hist": self._cost_hist_np(),
+            **(
+                {
+                    # Pipelined scan-to-scan chain anchor: the next scan
+                    # registers against the LAST RAW scan (not necessarily
+                    # a keyframe), so bit-identical resume must carry it.
+                    "prev_points": np.asarray(self._prev_scan.points),
+                    "prev_count": np.asarray(self._prev_scan.count),
+                }
+                if self._pipelined and self._prev_scan is not None
+                else {}
+            ),
             "tried_pairs": np.asarray(
                 sorted(self._tried_pairs), dtype=np.int64
             ).reshape(-1, 2),
@@ -278,6 +499,26 @@ class OnlineSlam:
         }
         self._kf_since_refine = int(state["kf_since_refine"])
         self._cost_hist = [float(c) for c in np.asarray(state["cost_hist"])]
+        if self._pipelined:
+            dtype = state["kf_points"].dtype
+            hist = np.zeros((16,), dtype=dtype)
+            tail = np.asarray(state["cost_hist"], dtype=dtype)[-16:]
+            if tail.size:
+                hist[16 - tail.size :] = tail
+            self._hist = jnp.asarray(hist)
+            self._hist_count = jnp.asarray(min(tail.size, 16), dtype=jnp.int32)
+            self._pending = None
+            self._correction = None
+            if "prev_points" in state:
+                self._prev_scan = PointCloud(
+                    jnp.asarray(state["prev_points"]),
+                    jnp.asarray(state["prev_count"]),
+                )
+            else:
+                # Serial-mode checkpoint: fall back to the last keyframe
+                # (its pose is NOT the live pose, so re-anchor the chain).
+                self._prev_scan = self._kf_clouds[-1]
+                self._pose = self._cur_kf_pose
         self._cur_kf_pose = self._kf_poses[-1]
         self._pose = RigidTransform(
             jnp.asarray(state["pose_rot"]), jnp.asarray(state["pose_trans"])
@@ -322,12 +563,24 @@ class OnlineSlam:
             **kwargs,
         )
 
+    def _cost_hist_np(self) -> np.ndarray:
+        """Accepted-cost history as float64, newest last — from the host
+        list (serial) or the device ring buffer (pipelined)."""
+        if self._pipelined and self._hist is not None:
+            count = int(self._hist_count)
+            hist = np.asarray(self._hist, dtype=np.float64)
+            return hist[16 - count :] if count else np.zeros((0,), np.float64)
+        return np.asarray(self._cost_hist, dtype=np.float64)
+
     def finalize(self) -> bool:
         """Flush: run one final closure search + robust solve over whatever
         arrived since the last periodic refinement (revisits usually land in
         the FINAL keyframes — a stream that ends between refine boundaries
         would otherwise never register them).  Returns True if the solve
-        ran; the live pose is re-anchored like any other refinement."""
+        ran; the live pose is re-anchored like any other refinement.
+        Pipelined mode materializes the in-flight scan first."""
+        if self._pipelined:
+            self.flush()
         if len(self._kf_poses) < 2:
             return False
         refined = self._refine()

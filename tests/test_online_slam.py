@@ -211,3 +211,159 @@ def test_online_slam_closure_information(rng):
     )
     assert end_err < 0.1, end_err
     assert len(updates) == len(scans)
+
+
+# -- pipelined mode (VERDICT round-3 item 2) --------------------------------
+
+
+def test_online_slam_pipelined_bitwise_matches_serial_every_scan_keyframe(rng):
+    """When every scan promotes (negative threshold) the serial path
+    registers each scan against the PREVIOUS scan from identity — exactly
+    the pipelined scan-to-scan chain — so pipelined add_scan must
+    reproduce the serial path BITWISE: poses, promotion flags, and the
+    accepted-cost history (pinning that the fused device step's
+    registration, pose composition, and device-median anomaly check
+    compute exactly the serial host math)."""
+    scans, _ = _circle_scans(rng, t_steps=17)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    kw = dict(
+        translation_threshold=-1.0, angle_threshold=1e9,
+        loop_every=999, loop_radius=1.5, loop_min_separation=10,
+    )
+    serial = slam.OnlineSlam(method, _cfg(), **kw)
+    piped = slam.OnlineSlam(method, _cfg(), pipelined=True, **kw)
+    s_updates = [serial.add_scan(s) for s in scans]
+    p_updates = [piped.add_scan(s) for s in scans] + [piped.flush()]
+    p_updates = [u for u in p_updates if u is not None]
+    assert len(p_updates) == len(s_updates)
+    for t, (su, pu) in enumerate(zip(s_updates, p_updates)):
+        assert su.is_keyframe == pu.is_keyframe, t
+        np.testing.assert_array_equal(
+            np.asarray(su.pose.translation), np.asarray(pu.pose.translation)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(su.pose.rotation), np.asarray(pu.pose.rotation)
+        )
+    # The device cost ring buffer replayed the host history exactly.
+    np.testing.assert_array_equal(piped._cost_hist_np(), serial._cost_hist_np())
+
+
+def test_online_slam_pipelined_anomaly_retry_matches_serial(rng):
+    """A garbage scan mid-stream triggers the cost-anomaly coarse retry; the
+    device-side lax.cond retry (including the np.median-compatible masked
+    median over the cost ring) must reproduce the serial host retry
+    bitwise (every scan promotes, so serial's scan-to-keyframe equals the
+    pipelined scan-to-scan chain exactly)."""
+    # Slow linear drift: every scan registers cleanly against scan 0 (no
+    # promotion at huge thresholds), so the running cost median is the
+    # sensor noise level and the scrambled scan's cost is a clean anomaly.
+    world = rng.uniform(-10, 10, (150, 2))
+    scans = []
+    for k in range(13):
+        pts = world - np.asarray([0.08 * k, 0.0])
+        scans.append(
+            icp.from_points(pts + rng.normal(0, 0.01, pts.shape),
+                            capacity=152, dtype=np.float64)
+        )
+    pts = np.asarray(scans[8].points)
+    scrambled = rng.uniform(-30, 30, pts.shape)
+    scans[8] = icp.from_points(scrambled, capacity=pts.shape[0], dtype=np.float64)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    kw = dict(
+        translation_threshold=-1.0, angle_threshold=1e9,
+        loop_every=999, loop_radius=1.5, loop_min_separation=10,
+    )
+    serial = slam.OnlineSlam(method, _cfg(), **kw)
+    piped = slam.OnlineSlam(method, _cfg(), pipelined=True, **kw)
+    s_updates = [serial.add_scan(s) for s in scans]
+    p_updates = [piped.add_scan(s) for s in scans] + [piped.flush()]
+    p_updates = [u for u in p_updates if u is not None]
+    # The scenario is real: the garbage scan's accepted cost is anomalous
+    # against the running median (the retry fired but could not rescue a
+    # scan with no structure — both paths must agree on that too).
+    hist = serial._cost_hist_np()
+    assert hist.max() > 5 * np.median(hist)
+    for su, pu in zip(s_updates, p_updates):
+        np.testing.assert_array_equal(
+            np.asarray(su.pose.translation), np.asarray(pu.pose.translation)
+        )
+    np.testing.assert_array_equal(piped._cost_hist_np(), serial._cost_hist_np())
+
+
+def test_online_slam_pipelined_closes_loop_live(rng):
+    """Full pipelined SLAM on the circle: deferred promotion + the exact
+    left-composed refine correction must not cost closure quality — same
+    contract as test_online_slam_closes_loop_live (end error < 0.05 m).
+
+    Stream density: deferred promotion adds one scan to the worst-case
+    keyframe gap, so the pipelined front-end needs the per-scan motion
+    HALVED relative to the serial basin limit (measured: the 49-step
+    circle at threshold 0.4 promotes every scan serially — 7.5 deg
+    effective gap — but pipelined the effective gap is two scans = 15 deg,
+    exactly the documented does-not-stream regime; at 97 steps both run
+    inside the basin).  Documented in the OnlineSlam pipelined-mode note.
+    """
+    scans, gt = _circle_scans(rng, t_steps=97)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, _cfg(), pipelined=True,
+        translation_threshold=0.25, angle_threshold=0.15,
+        loop_every=4, loop_radius=1.5, loop_min_separation=10,
+        robust="gnc_gm", robust_scale="auto",
+        odometry_weight=100.0, loop_weight=100.0,
+    )
+    updates = [online.add_scan(s) for s in scans] + [online.flush()]
+    updates = [u for u in updates if u is not None]
+    assert len(updates) == len(scans)
+    assert updates[0].is_keyframe
+    assert any(u.refined for u in updates)  # refinement ran mid-stream
+    assert updates[-1].num_closures >= 1
+    end_err = float(np.linalg.norm(np.asarray(updates[-1].pose.translation)))
+    assert end_err < 0.05, end_err
+
+
+def test_online_slam_pipelined_checkpoint_resume_bit_identical(rng):
+    """state_dict flushes the in-flight scan (a checkpoint is a pipeline
+    DRAIN — the promotion decided for the drained scan applies from the
+    next dispatch, not one later), and the restored session continues the
+    stream to an end state bit-identical to an uninterrupted run that
+    drained at the same boundary."""
+    scans, _ = _circle_scans(rng, t_steps=25)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    cut = 11
+
+    def fresh():
+        return slam.OnlineSlam(
+            method, _cfg(), pipelined=True,
+            translation_threshold=0.4, angle_threshold=0.15,
+            loop_every=4, loop_radius=1.5, loop_min_separation=10,
+            robust="gnc_gm", robust_scale="auto",
+            odometry_weight=100.0, loop_weight=100.0,
+        )
+
+    full = fresh()
+    for t, s in enumerate(scans):
+        full.add_scan(s)
+        if t == cut - 1:
+            full.flush()  # same drain boundary as the checkpointed run
+    full.flush()
+
+    first = fresh()
+    for s in scans[:cut]:
+        first.add_scan(s)
+    state = first.state_dict()  # flushes the pending scan
+
+    resumed = fresh()
+    resumed.load_state(state)
+    # The checkpoint boundary consumed every scan fed so far (flush), so the
+    # resumed stream continues from scan `cut`.
+    for s in scans[cut:]:
+        resumed.add_scan(s)
+    resumed.flush()
+
+    np.testing.assert_array_equal(
+        np.asarray(full.keyframe_poses.translation),
+        np.asarray(resumed.keyframe_poses.translation),
+    )
+    np.testing.assert_array_equal(full._cost_hist_np(), resumed._cost_hist_np())
+    assert full._loop_edges == resumed._loop_edges
