@@ -241,6 +241,91 @@ def find_loop_candidates_descriptor(
     return jnp.asarray(pairs_np, dtype=jnp.int32), jnp.asarray(yaw_np)
 
 
+def find_loop_candidates_descriptor_incremental(
+    descs: Array,
+    new_start: int,
+    max_distance: float,
+    min_separation: int = 10,
+    max_candidates: int | None = None,
+) -> tuple[Array, Array]:
+    """Incremental form of :func:`find_loop_candidates_descriptor`: only
+    pairs whose NEWER member is a keyframe ``>= new_start`` can be fresh
+    (descriptors are immutable, so every (i, j) with ``j < new_start`` was
+    already scored by an earlier retrieval), so score just the new block
+    against the whole database — ``O((T - new_start) · T · S)`` einsums
+    instead of the all-pairs ``O(T² · S)`` that grows quadratically with
+    the session (and retraces at every keyframe count; ADVICE round-3).
+
+    Returns the same ``(pairs (K, 2), yaw (K,))`` contract, restricted to
+    ``j >= new_start``: identical to filtering the all-pairs result
+    (pinned by ``tests/test_descriptor.py``), with the same yaw convention
+    (query axis = i, so the shift aligns scan j onto scan i).  Both axes
+    are padded to power-of-two buckets so a long-running session reuses a
+    handful of compiled executables instead of recompiling at every
+    refinement's keyframe count.
+    """
+    import numpy as np
+
+    from ..cloud import bucket_capacity
+
+    t = descs.shape[0]
+    if not 0 <= new_start <= t:
+        raise ValueError(f"new_start must be in [0, {t}], got {new_start}")
+    n_new = t - new_start
+    if n_new == 0:
+        return (
+            jnp.zeros((0, 2), dtype=jnp.int32),
+            jnp.zeros((0,), dtype=descs.dtype),
+        )
+    rings, sectors = descs.shape[-2:]
+    cap_db = bucket_capacity(t, min_capacity=8)
+    cap_new = bucket_capacity(n_new, min_capacity=8)
+    pad_db = jnp.zeros((cap_db - t, rings, sectors), dtype=descs.dtype)
+    db = jnp.concatenate([descs, pad_db], axis=0)
+    new_block = jnp.concatenate(
+        [
+            descs[new_start:],
+            jnp.zeros((cap_new - n_new, rings, sectors), dtype=descs.dtype),
+        ],
+        axis=0,
+    )
+    k = max_candidates if max_candidates is not None else cap_db * cap_new
+    k = min(k, cap_db * cap_new)
+    dist, shift, ok = _incremental_scores(
+        db, new_block, new_start, t, max_distance, min_separation
+    )
+    masked = jnp.where(ok, dist, jnp.inf)
+    neg, flat = jax.lax.top_k(-masked.reshape(-1), k)
+    gi = flat // cap_new
+    gj = new_start + flat % cap_new
+    pairs = jnp.stack([gi, gj], axis=-1).astype(jnp.int32)
+    yaw = shift.reshape(-1)[flat].astype(descs.dtype) * (2 * jnp.pi / sectors)
+    yaw = jnp.where(yaw > jnp.pi, yaw - 2 * jnp.pi, yaw)
+    valid = np.asarray(jnp.isfinite(neg))
+    return (
+        jnp.asarray(np.asarray(pairs)[valid], dtype=jnp.int32),
+        jnp.asarray(np.asarray(yaw)[valid]),
+    )
+
+
+@jax.jit
+def _incremental_scores(db, new_block, new_start, count, max_distance, min_separation):
+    """Jitted core of the incremental retrieval: distances of the new
+    block against the database plus the validity mask (separation +
+    padding).  Query axis = database (i), so the shift convention matches
+    the all-pairs search."""
+    dist, shift = descriptor_query(db, new_block)  # (cap_db, cap_new)
+    gi = jnp.arange(db.shape[0])[:, None]
+    gj = new_start + jnp.arange(new_block.shape[0])[None, :]
+    ok = (
+        (dist < max_distance)
+        & (gj - gi >= min_separation)
+        & (gi < count)
+        & (gj < count)
+    )
+    return dist, shift, ok
+
+
 def yaw_seeds(clouds, pairs: Array, yaw: Array):
     """Registration seeds from descriptor yaw estimates.
 

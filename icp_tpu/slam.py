@@ -202,6 +202,7 @@ class OnlineSlam:
         self._desc_range = descriptor_range
         self._desc_max_dist = descriptor_max_distance
         self._kf_descs: list = []  # one Scan Context per keyframe
+        self._desc_queried = 0  # keyframes already scored for candidates
         self._loop_min_sep = loop_min_separation
         self._loop_max_cands = loop_max_candidates
         self._loop_max_cost = loop_max_cost
@@ -445,6 +446,7 @@ class OnlineSlam:
             "tried_pairs": np.asarray(
                 sorted(self._tried_pairs), dtype=np.int64
             ).reshape(-1, 2),
+            "desc_queried": np.asarray(self._desc_queried),
             "loop_edges": np.asarray(self._loop_edges, dtype=np.int64).reshape(-1, 2),
         }
         if self._odo_meas:
@@ -498,6 +500,7 @@ class OnlineSlam:
             (int(i), int(j)) for i, j in np.asarray(state["tried_pairs"])
         }
         self._kf_since_refine = int(state["kf_since_refine"])
+        self._desc_queried = int(state.get("desc_queried", 0))
         self._cost_hist = [float(c) for c in np.asarray(state["cost_hist"])]
         if self._pipelined:
             dtype = state["kf_points"].dtype
@@ -621,13 +624,23 @@ class OnlineSlam:
         k = len(self._kf_poses)
         yaw_by_pair: dict[tuple[int, int], float] = {}
         if self._loop_detector == "descriptor":
-            from .ops.descriptor import find_loop_candidates_descriptor
+            # Incremental retrieval: descriptors are immutable, so only
+            # pairs whose newer member arrived since the last refinement
+            # can be fresh (older pairs are _tried_pairs-filtered anyway).
+            # Scoring new-vs-all instead of all-vs-all keeps the per-refine
+            # retrieval cost O(dT·T) (flat as the session grows) and — a
+            # side benefit — spends the candidate budget entirely on fresh
+            # pairs instead of re-ranking already-tried ones (ADVICE
+            # round-3; VERDICT round-3 item 4).
+            from .ops.descriptor import find_loop_candidates_descriptor_incremental
 
-            cands, yaws = find_loop_candidates_descriptor(
-                jnp.stack(self._kf_descs), self._desc_max_dist,
+            cands, yaws = find_loop_candidates_descriptor_incremental(
+                jnp.stack(self._kf_descs), self._desc_queried,
+                self._desc_max_dist,
                 min_separation=self._loop_min_sep,
                 max_candidates=self._loop_max_cands,
             )
+            self._desc_queried = k
             yaw_by_pair = {
                 (int(i), int(j)): float(y)
                 for (i, j), y in zip(np.asarray(cands).reshape(-1, 2), np.asarray(yaws))

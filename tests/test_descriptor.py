@@ -500,3 +500,75 @@ def test_online_slam_relocalize(rng):
     radius_mode = slam.OnlineSlam(method, cfg)
     with pytest.raises(ValueError):
         radius_mode.relocalize(cloud.from_points(jnp.asarray(q), capacity=world.shape[0]))
+
+
+def test_incremental_retrieval_matches_all_pairs_fresh_slice(rng):
+    """find_loop_candidates_descriptor_incremental(descs, new_start) must
+    return EXACTLY the all-pairs candidates whose newer member is
+    >= new_start — same pairs, same yaw seeds (descriptors are immutable,
+    so that slice is the only thing a new retrieval can add; VERDICT
+    round-3 item 4 / ADVICE round-3)."""
+    from icp_tpu.ops.descriptor import (
+        find_loop_candidates_descriptor_incremental,
+        scan_context,
+    )
+
+    world = rng.uniform(-20, 20, (120, 2))
+    descs = []
+    for k in range(24):
+        # Two laps over the same 12 poses: genuine revisit pairs.
+        phi = 2 * np.pi * (k % 12) / 12
+        c, s = np.cos(phi + np.pi / 2), np.sin(phi + np.pi / 2)
+        pts = (world - [4 * np.cos(phi), 4 * np.sin(phi)]) @ np.array(
+            [[c, -s], [s, c]]
+        )
+        pts = pts + rng.normal(0, 0.02, pts.shape)
+        descs.append(
+            scan_context(
+                jnp.asarray(pts), jnp.ones(pts.shape[0], bool), max_radius=40.0
+            )
+        )
+    descs = jnp.stack(descs)
+
+    full_pairs, full_yaw = find_loop_candidates_descriptor(
+        descs, 0.3, min_separation=6
+    )
+    for new_start in (0, 12, 17, 23, 24):
+        inc_pairs, inc_yaw = find_loop_candidates_descriptor_incremental(
+            descs, new_start, 0.3, min_separation=6
+        )
+        keep = np.asarray(full_pairs)[:, 1] >= new_start
+        want = {tuple(p) for p in np.asarray(full_pairs)[keep].tolist()}
+        got = {tuple(p) for p in np.asarray(inc_pairs).tolist()}
+        assert got == want, (new_start, got ^ want)
+        yaw_by_pair = {
+            tuple(p): y
+            for p, y in zip(np.asarray(full_pairs).tolist(), np.asarray(full_yaw))
+        }
+        for p, y in zip(np.asarray(inc_pairs).tolist(), np.asarray(inc_yaw)):
+            np.testing.assert_allclose(y, yaw_by_pair[tuple(p)], atol=1e-12)
+
+
+def test_incremental_retrieval_budget_and_bounds(rng):
+    from icp_tpu.ops.descriptor import (
+        find_loop_candidates_descriptor_incremental,
+        scan_context,
+    )
+
+    pts = rng.uniform(-5, 5, (16, 64, 2))
+    descs = scan_context(
+        jnp.asarray(pts), jnp.ones(pts.shape[:2], bool), max_radius=10.0
+    )
+    pairs, yaw = find_loop_candidates_descriptor_incremental(
+        descs, 16, 0.5, min_separation=1
+    )
+    assert pairs.shape == (0, 2) and yaw.shape == (0,)  # nothing new
+    pairs, _ = find_loop_candidates_descriptor_incremental(
+        descs, 8, 1.1, min_separation=1, max_candidates=3
+    )
+    assert pairs.shape[0] <= 3
+    assert bool((np.asarray(pairs)[:, 1] >= 8).all())
+    import pytest
+
+    with pytest.raises(ValueError, match="new_start"):
+        find_loop_candidates_descriptor_incremental(descs, 17, 0.5)
