@@ -22,7 +22,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("ICP_EXAMPLES_CPU") == "1":
+    # (ICP_EXAMPLES_CPU survives sitecustomize env pinning - smoke tests use it.)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -39,6 +40,8 @@ SEQ = os.path.join(REPO, "ex_data", "seq1")
 
 def main():
     paths = sorted(glob.glob(os.path.join(SEQ, "sweep_*.conf")))
+    if os.environ.get("ICP_EXAMPLES_QUICK") == "1":
+        paths = paths[:30]
     clouds = [parse_sweep(p, dtype=np.float64) for p in paths]
     cap = max(c.capacity for c in clouds)
     clouds = [icp.pad_to(c, cap) for c in clouds]

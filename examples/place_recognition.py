@@ -26,7 +26,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("ICP_EXAMPLES_CPU") == "1":
+    # (ICP_EXAMPLES_CPU survives sitecustomize env pinning - smoke tests use it.)
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -9,7 +9,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("ICP_EXAMPLES_CPU") == "1":
+    # (ICP_EXAMPLES_CPU survives sitecustomize env pinning - smoke tests use it.)
     # Hosted images may pin another platform in sitecustomize; honor the env.
     import jax
 
@@ -20,6 +21,9 @@ import numpy as np
 import icp_tpu as icp
 
 DATA = "/root/reference/ex_data"
+if not os.path.isdir(DATA):
+    # Standalone checkouts: the bundled analogues (ex_data/README.md).
+    DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ex_data")
 
 a = icp.parse_lidar_scan(f"{DATA}/scan1/first.csv")
 b = icp.parse_lidar_scan(f"{DATA}/scan1/second.csv")

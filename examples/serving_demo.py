@@ -14,7 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("ICP_EXAMPLES_CPU") == "1":
+    # (ICP_EXAMPLES_CPU survives sitecustomize env pinning - smoke tests use it.)
     # Hosted images may pin another platform in sitecustomize; honor the env.
     import jax
 
@@ -26,7 +27,8 @@ import icp_tpu as icp
 from icp_tpu.serve import BatchingRegistrar
 
 rng = np.random.default_rng(0)
-N_CLIENTS = 32
+QUICK = os.environ.get("ICP_EXAMPLES_QUICK") == "1"  # smoke-test sizes
+N_CLIENTS = 8 if QUICK else 32
 
 server = BatchingRegistrar(
     icp.from_method("robust", 2),

@@ -14,7 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("ICP_EXAMPLES_CPU") == "1":
+    # (ICP_EXAMPLES_CPU survives sitecustomize env pinning - smoke tests use it.)
     # Hosted images may pin another platform in sitecustomize; honor the env.
     import jax
 
@@ -66,6 +67,8 @@ opt_drift = float(np.linalg.norm(np.asarray(graph.poses.translation[-1])))
 print(f"optimized end-pose drift: {opt_drift:.4f}")
 
 # --- Artifact --------------------------------------------------------------
-out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slam_trajectory.png")
+out = os.path.join(os.environ.get("ICP_EXAMPLES_OUT")
+                   or os.path.dirname(os.path.abspath(__file__)),
+                   "slam_trajectory.png")
 render_trajectory(out, graph.poses, scans=stack)
 print(f"wrote {out}")

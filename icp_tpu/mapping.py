@@ -291,9 +291,13 @@ def scan_to_map_odometry(
         if reuse_aux:
             if map_aux is None:  # first registration against this map revision
                 map_aux = pre_jit(map_cloud)
-            result, _ = fn_with_aux(
-                scan, map_cloud, prev_pose, pre_jit(scan), map_aux
-            )
+            # Methods whose objective only consumes the TARGET's aux
+            # (precompute_source=False: ndt p2d, point_to_plane) skip the
+            # per-scan source precompute entirely — ndt was building and
+            # discarding 2^D voxel-Gaussian maps of EVERY scan here
+            # (ADVICE round-3).
+            src_aux = pre_jit(scan) if method.precompute_source else None
+            result, _ = fn_with_aux(scan, map_cloud, prev_pose, src_aux, map_aux)
         else:
             result, _ = fn(scan, map_cloud, prev_pose)
         pose = result.transform

@@ -57,6 +57,14 @@ class Method:
     cost: Callable[[Any], Array]
     precompute: Callable[[PointCloud], Any] | None = None
     with_precomputed: Callable[[Any, Any], "Method"] | None = None
+    # Whether with_precomputed actually CONSUMES the source's aux.  Methods
+    # whose objective only derives data from the target (point_to_plane:
+    # target normals; ndt p2d: target Gaussian maps) declare False, and
+    # aux-caching pipelines skip precompute(source) on their hot path —
+    # e.g. scan-to-map odometry was building (and discarding) 2^D
+    # voxel-Gaussian maps of EVERY scan (ADVICE round-3).  Such methods
+    # accept with_precomputed(None, aux_target).
+    precompute_source: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -466,4 +466,7 @@ def create(config: Config) -> Method:
         cost=cost,
         precompute=precompute,
         with_precomputed=with_precomputed,
+        # P2D's objective voxelizes only the TARGET; aux-caching pipelines
+        # must not build Gaussian maps of every scan (ADVICE round-3).
+        precompute_source=False,
     )

@@ -243,4 +243,7 @@ def create(config: Config) -> Method:
         cost=cost,
         precompute=precompute,
         with_precomputed=with_precomputed,
+        # Only the target's normals participate in the objective; skip
+        # estimating the source's on aux-caching hot paths (ADVICE round-3).
+        precompute_source=False,
     )

@@ -141,7 +141,12 @@ def run_comm_analysis(args):
     n_dev = len(jax.devices())
     d = min(8, n_dev)
     rng = np.random.default_rng(0)
-    batch, cap = 32 * d, args.capacity
+    batch = args.batch if args.batch else 32 * d
+    cap = args.capacity
+    want = set(args.paths.split(",")) if args.paths else None
+
+    def wanted(name):
+        return want is None or name in want
     a_pts = rng.uniform(-30, 30, (batch, cap, 2)).astype(np.float32)
     b_pts = rng.uniform(-30, 30, (batch, cap, 2)).astype(np.float32)
     a = icp.PointCloud(jnp.asarray(a_pts), jnp.full((batch,), cap - 10, jnp.int32))
