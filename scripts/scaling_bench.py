@@ -163,84 +163,91 @@ def run_comm_analysis(args):
         out.append(rec)
         print(json.dumps(rec))
 
-    # 1. Pure data parallel: expect ZERO collectives inside the iterate loop.
-    mesh = make_mesh(data=d, points=1, devices=np.asarray(jax.devices()[:d]))
-    fn = make_sharded_converge_fn(method, cfg, mesh, shard_points=False)
-    src, tgt, g = shard_batch((a, b, guess), mesh)
-    analyze(
-        "dp_converge",
-        jax.jit(fn).lower(src, tgt, g).compile(),
-        f"B={batch} sharded over data={d}; per-iteration bytes should be 0",
-    )
-
-    # 2. GSPMD sequence parallel: points axis sharded, psum-combined.
-    mesh_sp = make_mesh(data=1, points=d, devices=np.asarray(jax.devices()[:d]))
-    fn_sp = make_sharded_converge_fn(method, cfg, mesh_sp, shard_points=True)
-    src_sp, tgt_sp, g_sp = shard_batch((a, b, guess), mesh_sp, shard_points=True)
-    analyze(
-        "sp_converge",
-        jax.jit(fn_sp).lower(src_sp, tgt_sp, g_sp).compile(),
-        f"B={batch} cap={cap} points sharded {d}-way (argmin-combine + "
-        "rigid-solve psums per iteration)",
-    )
-
-    # 3. Ring NN (both clouds sharded; collective-permute per rotation).
-    n_pts = 4096
-    q = jnp.asarray(rng.uniform(-1, 1, (n_pts, 2)).astype(np.float32))
-    t = jnp.asarray(rng.uniform(-1, 1, (n_pts, 2)).astype(np.float32))
-    mask = jnp.ones((n_pts,), dtype=bool)
-    ring = jax.jit(lambda q_, t_, m_: ring_nearest_neighbors(q_, t_, m_, mesh_sp))
-    analyze(
-        "ring_nn",
-        ring.lower(q, t, mask).compile(),
-        f"N=M={n_pts} both sharded {d}-way; permute bytes/rotation = M/P*D*4",
-    )
-
-    # 4. Pose-graph PCG (edges sharded; segment_sum psums per matvec).
-    t_nodes, n_loops = 1024, 256
-    twists = rng.uniform(-0.3, 0.3, (t_nodes - 1, 3))
-    from icp_tpu import geometry, lie
-
-    gt = [icp.identity(2, dtype=np.float32)]
-    for k in range(t_nodes - 1):
-        gt.append(
-            geometry.compose(gt[-1], lie.se2_exp(jnp.asarray(twists[k], dtype=jnp.float32)))
+    if wanted("dp_converge"):
+        # 1. Pure data parallel: expect ZERO collectives inside the iterate loop.
+        mesh = make_mesh(data=d, points=1, devices=np.asarray(jax.devices()[:d]))
+        fn = make_sharded_converge_fn(method, cfg, mesh, shard_points=False)
+        src, tgt, g = shard_batch((a, b, guess), mesh)
+        analyze(
+            "dp_converge",
+            jax.jit(fn).lower(src, tgt, g).compile(),
+            f"B={batch} sharded over data={d}; per-iteration bytes should be 0",
         )
-    poses0 = icp.RigidTransform(
-        jnp.stack([p.rotation for p in gt]), jnp.stack([p.translation for p in gt])
-    )
-    meas = lie.se2_exp(jnp.asarray(twists, dtype=jnp.float32))
-    li = rng.integers(0, t_nodes - 1, n_loops)
-    lj = np.minimum(li + rng.integers(2, t_nodes, n_loops), t_nodes - 1)
-    rels = geometry.compose(
-        geometry.inverse(
-            icp.RigidTransform(poses0.rotation[li], poses0.translation[li])
-        ),
-        icp.RigidTransform(poses0.rotation[lj], poses0.translation[lj]),
-    )
-    graph = pose_graph.graph_from_trajectory(
-        poses0, meas, loop_edges=jnp.asarray(np.stack([li, lj], -1), jnp.int32),
-        loop_measurements=rels,
-    )
-    graph_sh = pose_graph.shard_over_edges(graph, mesh_sp, axis="points")
-    solve = jax.jit(
-        lambda g_: pose_graph.optimize(g_, iterations=4, solver="pcg", cg_iterations=16)
-    )
-    analyze(
-        "pose_graph_pcg",
-        solve.lower(graph_sh).compile(),
-        f"T={t_nodes} E~{t_nodes - 1 + n_loops} edges sharded {d}-way; "
-        "psum(T*dof) per CG matvec",
-    )
+
+    mesh_sp = make_mesh(data=1, points=d, devices=np.asarray(jax.devices()[:d]))
+
+    if wanted("sp_converge"):
+        # 2. GSPMD sequence parallel: points axis sharded, psum-combined.
+        fn_sp = make_sharded_converge_fn(method, cfg, mesh_sp, shard_points=True)
+        src_sp, tgt_sp, g_sp = shard_batch((a, b, guess), mesh_sp, shard_points=True)
+        analyze(
+            "sp_converge",
+            jax.jit(fn_sp).lower(src_sp, tgt_sp, g_sp).compile(),
+            f"B={batch} cap={cap} points sharded {d}-way (argmin-combine + "
+            "rigid-solve psums per iteration)",
+        )
+
+    if wanted("ring_nn"):
+        # 3. Ring NN (both clouds sharded; collective-permute per rotation).
+        n_pts = 4096
+        q = jnp.asarray(rng.uniform(-1, 1, (n_pts, 2)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(-1, 1, (n_pts, 2)).astype(np.float32))
+        mask = jnp.ones((n_pts,), dtype=bool)
+        ring = jax.jit(lambda q_, t_, m_: ring_nearest_neighbors(q_, t_, m_, mesh_sp))
+        analyze(
+            "ring_nn",
+            ring.lower(q, t, mask).compile(),
+            f"N=M={n_pts} both sharded {d}-way; permute bytes/rotation = M/P*D*4",
+        )
+
+    if wanted("pose_graph_pcg"):
+        # 4. Pose-graph PCG (edges sharded; segment_sum psums per matvec).
+        t_nodes, n_loops = 1024, 256
+        twists = rng.uniform(-0.3, 0.3, (t_nodes - 1, 3))
+        from icp_tpu import geometry, lie
+
+        gt = [icp.identity(2, dtype=np.float32)]
+        for k in range(t_nodes - 1):
+            gt.append(
+                geometry.compose(gt[-1], lie.se2_exp(jnp.asarray(twists[k], dtype=jnp.float32)))
+            )
+        poses0 = icp.RigidTransform(
+            jnp.stack([p.rotation for p in gt]), jnp.stack([p.translation for p in gt])
+        )
+        meas = lie.se2_exp(jnp.asarray(twists, dtype=jnp.float32))
+        li = rng.integers(0, t_nodes - 1, n_loops)
+        lj = np.minimum(li + rng.integers(2, t_nodes, n_loops), t_nodes - 1)
+        rels = geometry.compose(
+            geometry.inverse(
+                icp.RigidTransform(poses0.rotation[li], poses0.translation[li])
+            ),
+            icp.RigidTransform(poses0.rotation[lj], poses0.translation[lj]),
+        )
+        graph = pose_graph.graph_from_trajectory(
+            poses0, meas, loop_edges=jnp.asarray(np.stack([li, lj], -1), jnp.int32),
+            loop_measurements=rels,
+        )
+        graph_sh = pose_graph.shard_over_edges(graph, mesh_sp, axis="points")
+        solve = jax.jit(
+            lambda g_: pose_graph.optimize(g_, iterations=4, solver="pcg", cg_iterations=16)
+        )
+        analyze(
+            "pose_graph_pcg",
+            solve.lower(graph_sh).compile(),
+            f"T={t_nodes} E~{t_nodes - 1 + n_loops} edges sharded {d}-way; "
+            "psum(T*dof) per CG matvec",
+        )
 
     # Predicted efficiency: eff(P) = t_comp / (t_comp + bytes/BW), with the
     # per-iteration collective bytes scaled by the mesh-size model of each
     # path and the single-chip iterate time measured in bench_results.json.
     comp_ms = args.compute_ms
     bw = args.ici_gbps * 1e9
+    sp = next((r for r in out if r["path"] == "sp_converge"), None)
+    if sp is None:
+        return out
     print("\npredicted efficiency vs mesh size "
           f"(compute {comp_ms} ms/iter, ICI {args.ici_gbps} GB/s):")
-    sp = next(r for r in out if r["path"] == "sp_converge")
     for p in (2, 4, 8, 16, 32):
         # SP per-iteration bytes measured at d devices; the combine volume
         # per device is ~independent of P (B*dof-sized partials), compute
@@ -258,6 +265,12 @@ def main():
     ap.add_argument("--virtual", type=int, help="force N virtual CPU devices")
     ap.add_argument("--batch-per-device", type=int, default=64)
     ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="--comm: total batch for the converge paths "
+                    "(default 32 per device; big-cloud cells want small B)")
+    ap.add_argument("--paths", default=None,
+                    help="--comm: comma filter of census paths (dp_converge,"
+                    "sp_converge,ring_nn,pose_graph_pcg)")
     ap.add_argument("--iterations", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--multihost", action="store_true")
