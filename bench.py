@@ -274,6 +274,22 @@ def run_ndt(metrics, jnp, icp):
         a = b = None
         _progress("ndt: scan1 data missing, matrix cell skipped")
     if a is not None:
+        # Quality reference for the hard fleet: trimmed from identity on
+        # the unbatched pair (the same pose the agreement gate trusts).
+        tm = icp.from_method("trimmed", 2)
+        a1 = jax.tree.map(lambda x: x[0], a)
+        b1 = jax.tree.map(lambda x: x[0], b)
+        ref_res, _ = icp.converge(
+            tm, a1, b1, icp.identity(2, dtype=np.float32), _bench_cfg(icp)
+        )
+        ref = np.asarray(ref_res.transform.translation)
+
+        def ok_lanes(result):
+            d = np.linalg.norm(
+                np.asarray(result.transform.translation) - ref, axis=-1
+            )
+            return int((d < 0.05).sum())
+
         _progress("ndt: scan1 B=256 ...")
         dt, (result, _) = _timed(fn, (a, b, guess), 3, jnp)
         pairs_per_sec = MATRIX_BATCH / dt
@@ -284,9 +300,94 @@ def run_ndt(metrics, jnp, icp):
                 "unit": "pairs/s (hard perturbations +-0.15 rad/+-0.6 m)",
                 "vs_baseline": round(pairs_per_sec / BASELINE_CONVERGES_PER_SEC, 2),
                 "mean_iterations": round(float(jnp.mean(result.iteration_count)), 2),
+                "converged_lanes": ok_lanes(result),
             }
         )
         _progress(f"ndt: scan1: {pairs_per_sec:.0f} pairs/s")
+
+        # Coarse-to-fine cell-size schedule (round 4): 8x -> 2x -> 1x cells
+        # with stride-decimated coarse levels — the fine level starts
+        # inside its quadratic region (measured ~1 iteration vs ~9) AND the
+        # coarse Gaussians widen the basin (converged_lanes: 25 -> 188 of
+        # 256 at the hard fleet on CPU; chip numbers recorded here).
+        from icp_tpu.multiscale import converge_ndt_multiscale
+
+        ms = jax.jit(
+            lambda a_, b_, g_: converge_ndt_multiscale(
+                a_, b_, g_, _bench_cfg(icp), dim=2,
+                ndt_config=icp.Config(cell_size=0.5, cells=1024),
+                scales=(8.0, 2.0), coarse_max_iterations=6,
+            )[0]
+        )
+        _progress("ndt: scan1 multiscale B=256 ...")
+        dt, result_ms = _timed(ms, (a, b, guess), 3, jnp)
+        pairs_per_sec_ms = MATRIX_BATCH / dt
+        metrics.append(
+            {
+                "metric": "scan1_ndt_multiscale_pairs_per_sec",
+                "value": round(pairs_per_sec_ms, 2),
+                "unit": "pairs/s (8x->2x->1x cell schedule, same fleet)",
+                "vs_baseline": round(
+                    pairs_per_sec_ms / BASELINE_CONVERGES_PER_SEC, 2
+                ),
+                "mean_fine_iterations": round(
+                    float(jnp.mean(result_ms.iteration_count)), 2
+                ),
+                "converged_lanes": ok_lanes(result_ms),
+                "speedup_vs_single_scale": round(
+                    pairs_per_sec_ms / pairs_per_sec, 2
+                ),
+            }
+        )
+        _progress(
+            f"ndt: scan1 multiscale: {pairs_per_sec_ms:.0f} pairs/s "
+            f"({ok_lanes(result_ms)}/256 lanes converged)"
+        )
+
+        # scans 2-3: workload robustness rows (same protocol as the other
+        # method families' matrix cells).
+        for scan_id in (2, 3):
+            try:
+                a2, b2 = _load_pair(_data_dir(repo), scan_id, MATRIX_BATCH, jnp, icp)
+            except FileNotFoundError:
+                continue
+            _progress(f"ndt: scan{scan_id} B=256 ...")
+            dt, (result2, _) = _timed(fn, (a2, b2, guess), 3, jnp)
+            pps = MATRIX_BATCH / dt
+            metrics.append(
+                {
+                    "metric": f"scan{scan_id}_ndt_pairs_per_sec",
+                    "value": round(pps, 2),
+                    "unit": "pairs/s (hard perturbations +-0.15 rad/+-0.6 m)",
+                    "vs_baseline": round(pps / BASELINE_CONVERGES_PER_SEC, 2),
+                    "mean_iterations": round(
+                        float(jnp.mean(result2.iteration_count)), 2
+                    ),
+                }
+            )
+            _progress(f"ndt: scan{scan_id}: {pps:.0f} pairs/s")
+
+        # D2D batch-pair row: the distribution-to-distribution variant on
+        # the same fleet (both sides voxelized; V cells per iteration).
+        d2d = icp.from_method(
+            "ndt", 2, icp.Config(cell_size=0.5, cells=1024, variant="d2d")
+        )
+        d2d_fn = icp.make_converge_fn(d2d, _bench_cfg(icp))
+        _progress("ndt: scan1 d2d B=256 ...")
+        dt, (result_d, _) = _timed(d2d_fn, (a, b, guess), 3, jnp)
+        pps_d = MATRIX_BATCH / dt
+        metrics.append(
+            {
+                "metric": "scan1_ndt_d2d_pairs_per_sec",
+                "value": round(pps_d, 2),
+                "unit": "pairs/s (d2d variant, same fleet)",
+                "vs_baseline": round(pps_d / BASELINE_CONVERGES_PER_SEC, 2),
+                "mean_iterations": round(
+                    float(jnp.mean(result_d.iteration_count)), 2
+                ),
+            }
+        )
+        _progress(f"ndt: scan1 d2d: {pps_d:.0f} pairs/s")
 
     # Scan-to-map: 4,096-point scan against a 65,536-point structured map
     # (points on a sphere surface — bounded occupied-cell count).  NDT
@@ -903,6 +1004,75 @@ def run_streaming(metrics, jnp, icp):
     )
 
 
+def run_online_slam(metrics, jnp, icp):
+    """OnlineSlam per-scan latency evidence (VERDICT round-3 item 2): the
+    p50/p99 of ``add_scan`` and the refine-scan stall, serial vs pipelined,
+    on the bundled seq1 stream — the exact style of the stream_scan_ms
+    rows, for the flagship online module."""
+    import glob as _glob
+
+    from icp_tpu import slam
+    from icp_tpu.io import parse_sweep
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(_glob.glob(os.path.join(repo, "ex_data", "seq1", "sweep_*.conf")))
+    if not paths:
+        _progress("online_slam: seq1 not found; skipping")
+        return
+    clouds = [icp.pad_to(parse_sweep(p, dtype=np.float32), 1024) for p in paths]
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
+    cfg = _bench_cfg(icp)
+
+    def run_once(pipelined):
+        online = slam.OnlineSlam(
+            method, cfg, pipelined=pipelined,
+            translation_threshold=0.5, angle_threshold=0.15,
+            loop_every=8, loop_radius=2.0, loop_min_separation=10,
+            robust="gnc_gm", robust_scale="auto",
+            odometry_weight=100.0, loop_weight=100.0,
+        )
+        times, refined = [], []
+        for s in clouds:
+            t0 = time.perf_counter()
+            u = online.add_scan(s)
+            times.append((time.perf_counter() - t0) * 1e3)
+            refined.append(bool(u.refined) if u is not None else False)
+        if pipelined:
+            online.flush()
+        return np.asarray(times[1:]), np.asarray(refined[1:])
+
+    for pipelined, tag in ((False, "serial"), (True, "pipelined")):
+        _progress(f"online_slam: warm-up ({tag}) ...")
+        run_once(pipelined)  # compile pass
+        times, refined = run_once(pipelined)
+        p50 = float(np.percentile(times, 50))
+        p99 = float(np.percentile(times, 99))
+        stall = float(times[refined].max()) if refined.any() else None
+        metrics.append(
+            {
+                "metric": f"online_slam_scan_ms_p50_{tag}",
+                "value": round(p50, 2),
+                "unit": "ms/scan add_scan p50 (seq1, loop_every=8)",
+                "vs_baseline": None,
+                "p99_ms": round(p99, 2),
+                "refine_stall_ms": round(stall, 2) if stall is not None else None,
+            }
+        )
+        _progress(
+            f"online_slam {tag}: p50 {p50:.1f} ms p99 {p99:.1f} ms"
+            + (f" refine stall {stall:.1f} ms" if stall is not None else "")
+        )
+    serial_row = next(
+        m for m in metrics if m["metric"] == "online_slam_scan_ms_p50_serial"
+    )
+    piped_row = next(
+        m for m in metrics if m["metric"] == "online_slam_scan_ms_p50_pipelined"
+    )
+    piped_row["vs_baseline"] = round(
+        serial_row["value"] / max(piped_row["value"], 1e-9), 2
+    )
+
+
 def run_seq3d(metrics, jnp, icp):
     """3D end-to-end row (VERDICT round-2 item 2): GICP odometry over the
     bundled 72-sweep seq3d loop + SE(3) robust loop closure, reporting
@@ -1116,6 +1286,7 @@ def main():
             run_roofline,
             run_serving,
             run_streaming,
+            run_online_slam,
             run_mapping,
             run_seq3d,
             run_pose_agreement,
