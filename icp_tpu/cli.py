@@ -456,10 +456,12 @@ def cmd_odometry(args):
             robust=args.robust_kernel,
             robust_scale=args.robust_scale,
             closure_information=args.closure_information,
+            pipelined=args.pipelined,
         )
         live_poses = []
-        for t, scan in enumerate(stream_clouds):
-            u = online.add_scan(scan)
+
+        def emit(u):
+            t = len(live_poses)
             live_poses.append(u.pose)
             print(json.dumps({
                 "scan": args.scans[t],
@@ -469,6 +471,18 @@ def cmd_odometry(args):
                 "refined": bool(u.refined),
                 "closures": int(u.num_closures),
             }))
+
+        for scan in stream_clouds:
+            u = online.add_scan(scan)
+            # Pipelined updates arrive with one scan of latency (the first
+            # dispatch returns None); each record still streams as soon as
+            # its scan materializes.
+            if u is not None:
+                emit(u)
+        if args.pipelined:
+            u = online.flush()
+            if u is not None:
+                emit(u)
         flushed = online.finalize()
         kf = online.keyframe_poses
         print(
@@ -682,6 +696,14 @@ def cmd_graph(args):
         )
         print(f"robust scale (pass {args.scale_passes}): {scale:.4g}",
               file=sys.stderr)
+        # robust_solve's cost trace belongs to the LAST pass; report the
+        # true chi2 at the INPUT poses so chi2_initial keeps its meaning.
+        import jax.numpy as jnp
+
+        r0 = pose_graph.edge_residuals(graph, graph.poses)
+        costs = jnp.concatenate(
+            [jnp.sum(r0 * r0)[None], jnp.asarray(costs)[1:]]
+        )
     else:
         if robust_mask is not None and isinstance(robust_scale, str):  # 'auto'
             robust_scale = pose_graph.auto_robust_scale(
@@ -874,6 +896,12 @@ def main(argv=None):
         "--online", action="store_true",
         help="streaming mode: scan-by-scan OnlineSlam (periodic robust loop "
         "closure, live re-anchoring) instead of the offline batch pipeline",
+    )
+    p_odo.add_argument(
+        "--pipelined", action="store_true",
+        help="(--online) fused device step with one deferred host sync per "
+        "scan: records stream with one scan of latency; over a remote "
+        "accelerator the sync overlap dominates per-scan latency",
     )
     p_odo.add_argument("--loop-every", type=int, default=8,
                        help="(--online) refine every N keyframes")

@@ -343,3 +343,25 @@ def test_odometry_csv_descriptor_loop_closure(capsys, tmp_path):
     # The loop returns to the start: optimized end pose near identity.
     t_last = np.asarray(recs[-1]["translation"])
     assert np.linalg.norm(t_last) < 0.2, t_last
+
+
+def test_odometry_online_pipelined(capsys):
+    """--online --pipelined streams the same per-scan records (one scan of
+    latency internally, drained by flush) and reaches the same count and
+    end pose region as the serial stream."""
+    scans = [os.path.join(SEQ1, f"sweep_{k:03d}.conf") for k in range(12)]
+    cli.main([
+        "odometry", "--scans", *scans, "-m", "trimmed", "--online",
+        "--pipelined",
+        "--loop-radius", "2.5", "--loop-min-separation", "4",
+        "--loop-every", "4", "--keyframe-translation", "0.3",
+        "--odometry-weight", "100", "--loop-weight", "100",
+        "--max-iterations", "60",
+    ])
+    captured = capsys.readouterr()
+    recs = [json.loads(line) for line in captured.out.strip().splitlines()]
+    assert len(recs) == len(scans)
+    assert recs[0]["keyframe"] is True
+    t_last = np.asarray(recs[-1]["translation"])
+    assert 3.0 < t_last[0] < 5.0 and abs(t_last[1]) < 0.5
+    assert "online slam:" in captured.err
