@@ -80,3 +80,23 @@ def test_generator_reproduces_committed_file(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert open(PATH).read() == open(tmp_path / "m600.g2o").read()
+
+
+def test_m3500_loads_and_solves():
+    """The bundled M3500-scale graph (the size of Olson's classic
+    benchmark; the round-4 outlier-protocol workload): reader + pcg at
+    3500 nodes / 5979 edges.  chi2 5.2e8 -> 8.6e3 in 30 GN iterations
+    (statistically consistent: < 3·dof per edge), trajectory inside the
+    generator's 30 m Manhattan block."""
+    path = os.path.join(REPO, "ex_data", "manhattan", "m3500.g2o")
+    graph = read_g2o(path)
+    assert graph.num_nodes == 3500
+    assert graph.num_edges == 5979
+    opt, costs = pose_graph.optimize(
+        graph, iterations=30, solver="pcg", cg_iterations=50
+    )
+    chi2_0, chi2_n = float(costs[0]), float(costs[-1])
+    assert chi2_n < 1e-4 * chi2_0, (chi2_0, chi2_n)
+    assert chi2_n < 3 * 3 * graph.num_edges
+    assert np.all(np.isfinite(np.asarray(opt.poses.translation)))
+    assert np.abs(np.asarray(opt.poses.translation)).max() < 45
