@@ -367,3 +367,41 @@ def test_online_slam_pipelined_checkpoint_resume_bit_identical(rng):
     )
     np.testing.assert_array_equal(full._cost_hist_np(), resumed._cost_hist_np())
     assert full._loop_edges == resumed._loop_edges
+
+
+def test_online_slam_pipelined_descriptor_mode(rng):
+    """The two round-4 features compose: pipelined streaming with the
+    Scan Context loop detector (incremental retrieval) still finds the
+    revisit and closes the loop on a distinctive world."""
+    import math
+
+    world = np.concatenate(
+        [rng.uniform(-4, 4, (30, 2)) + c for c in rng.uniform(-25, 25, (8, 2))]
+    )
+    scans = []
+    t_steps, radius = 49, 6.0
+    for k in range(t_steps):
+        phi = 2 * math.pi * k / (t_steps - 1)
+        px, py, th = radius * math.cos(phi), radius * math.sin(phi), phi + math.pi / 2
+        c, s = np.cos(th), np.sin(th)
+        pts = (world - [px, py]) @ np.array([[c, -s], [s, c]])
+        scans.append(
+            icp.from_points(pts + rng.normal(0, 0.02, pts.shape),
+                            capacity=256, dtype=np.float64)
+        )
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+    online = slam.OnlineSlam(
+        method, _cfg(), pipelined=True,
+        translation_threshold=0.4, angle_threshold=0.15,
+        loop_every=4, loop_detector="descriptor", descriptor_range=60.0,
+        descriptor_max_distance=0.4, loop_min_separation=10,
+        robust="gnc_gm", odometry_weight=100.0, loop_weight=100.0,
+    )
+    for s in scans:
+        online.add_scan(s)
+    online.flush()
+    online.finalize()
+    assert len(online._loop_edges) >= 1
+    assert online._desc_queried == len(online._kf_descs)
+    end_err = float(np.linalg.norm(np.asarray(online._pose.translation)))
+    assert end_err < 0.1, end_err
