@@ -100,3 +100,40 @@ def test_m3500_loads_and_solves():
     assert chi2_n < 3 * 3 * graph.num_edges
     assert np.all(np.isfinite(np.asarray(opt.poses.translation)))
     assert np.abs(np.asarray(opt.poses.translation)).max() < 45
+
+
+def test_sphere2500_loads_and_solves():
+    """The bundled sphere-world SE(3) graph (the shape of g2o's classic
+    sphere2500): 2500 nodes / 8296 edges with 6x6 information, pcg.
+    chi2 8.9e7 -> 3.5e4 (< 6·dof per edge, statistically consistent) and
+    the trajectory lands back on the 25 m sphere."""
+    path = os.path.join(REPO, "ex_data", "manhattan", "sphere2500.g2o")
+    graph = read_g2o(path)
+    assert graph.num_nodes == 2500
+    assert graph.num_edges == 8296
+    assert graph.sqrt_information is not None
+    opt, costs = pose_graph.optimize(
+        graph, iterations=40, solver="pcg", cg_iterations=60
+    )
+    chi2_0, chi2_n = float(costs[0]), float(costs[-1])
+    assert chi2_n < 1e-3 * chi2_0, (chi2_0, chi2_n)
+    assert chi2_n < 6 * 6 * graph.num_edges
+    r = np.linalg.norm(np.asarray(opt.poses.translation), axis=-1)
+    assert 24.0 < r.min() and r.max() < 26.0, (r.min(), r.max())
+
+
+def test_sphere_generator_reproduces_committed_file(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_sphere_g2o.py"),
+            "--out",
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    committed = os.path.join(REPO, "ex_data", "manhattan", "sphere2500.g2o")
+    assert open(committed).read() == open(tmp_path / "sphere2500.g2o").read()
