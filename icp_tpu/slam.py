@@ -382,7 +382,11 @@ class OnlineSlam:
                 precision=geometry.HIGHEST,
             )
         )
-        promoted = float(delta_t) > self._tt or abs(float(delta_a)) > self._ta
+        # ONE fused transfer for both predicate scalars — over the TPU
+        # tunnel each materialization is a full round-trip, and this sync
+        # is the pipelined path's entire per-scan host cost.
+        dt_v, da_v = np.asarray(jnp.stack([delta_t, jnp.abs(delta_a)]))
+        promoted = float(dt_v) > self._tt or float(da_v) > self._ta
         self._pose = pose
         refined = False
         if promoted:
