@@ -92,13 +92,19 @@ def build_world():
     return np.array(segs, dtype=np.float64)  # (S, 2, 2)
 
 
-def trajectory(steps):
+def trajectory(steps, laps=1):
     """Closed rounded-rectangle loop through the corridor, heading tangent
     to the path; ends where it starts (exercises loop closure).
 
     The path is resampled uniformly by arc length so per-step motion (and
     per-step rotation at corners) is bounded — the realistic regime for a
     scanning robot; non-uniform steps make corner sweeps unregistrable.
+
+    ``laps > 1`` drives the same loop repeatedly (``steps`` stations over
+    ``laps`` circuits): every lap-2+ pose REVISITS a lap-1 pose mid-stream,
+    so an online SLAM back-end accepts closures (and re-solves) while the
+    stream is still running — the workload seq1 cannot provide (its only
+    revisit is the final keyframe; see BASELINE.md round-4 honest note 2).
     """
     rx, ry, r = 7.6, 5.4, 2.2  # straight half-extents and corner radius
     # Exact rounded rectangle: 4 straights + 4 quarter arcs, built as a
@@ -129,7 +135,9 @@ def trajectory(steps):
     # Arc-length resample to `steps` uniform stations.
     seg = np.hypot(np.roll(xs, -1) - xs, np.roll(ys, -1) - ys)
     arc = np.concatenate([[0.0], np.cumsum(seg)])
-    stations = np.linspace(0.0, arc[-1], steps, endpoint=False)
+    stations = np.linspace(0.0, laps * arc[-1], steps, endpoint=False)
+    if laps > 1:
+        stations = stations % arc[-1]  # wrap back onto the closed polyline
     xs = np.interp(stations, arc[:-1], path[:, 0])
     ys = np.interp(stations, arc[:-1], path[:, 1])
     # Heading = tangent direction of the (closed) path.
@@ -183,6 +191,8 @@ def raycast(origin, angles, segs, range_max):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--laps", type=int, default=1,
+                    help="circuits of the loop (>1: mid-stream revisits)")
     ap.add_argument("--beams", type=int, default=540)
     ap.add_argument("--fov-deg", type=float, default=270.0)
     ap.add_argument("--noise", type=float, default=0.01, help="range noise sigma (m)")
@@ -193,7 +203,7 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     segs = build_world()
-    poses = trajectory(args.steps)
+    poses = trajectory(args.steps, laps=args.laps)
     check_clearance(poses, segs)
 
     fov = math.radians(args.fov_deg)
