@@ -344,6 +344,39 @@ def run_ndt(metrics, jnp, icp):
             f"({ok_lanes(result_ms)}/256 lanes converged)"
         )
 
+        # Global-initializer variant (round 4): the schedule widens the
+        # basin but cannot recover arbitrarily bad starts — the coarse
+        # initializer (ops/coarse.py) can.  Measured CPU: 188/256 from the
+        # raw hard guesses, 256/256 with coarse_init.
+        msc = jax.jit(
+            lambda a_, b_, g_: converge_ndt_multiscale(
+                a_, b_, g_, _bench_cfg(icp), dim=2,
+                ndt_config=icp.Config(cell_size=0.5, cells=1024),
+                scales=(8.0, 2.0), coarse_max_iterations=6, coarse_init=True,
+            )[0]
+        )
+        _progress("ndt: scan1 multiscale+coarse B=256 ...")
+        dt, result_mc = _timed(msc, (a, b, guess), 3, jnp)
+        pairs_per_sec_mc = MATRIX_BATCH / dt
+        metrics.append(
+            {
+                "metric": "scan1_ndt_multiscale_coarse_pairs_per_sec",
+                "value": round(pairs_per_sec_mc, 2),
+                "unit": "pairs/s (global coarse init + 8x->2x->1x schedule)",
+                "vs_baseline": round(
+                    pairs_per_sec_mc / BASELINE_CONVERGES_PER_SEC, 2
+                ),
+                "mean_fine_iterations": round(
+                    float(jnp.mean(result_mc.iteration_count)), 2
+                ),
+                "converged_lanes": ok_lanes(result_mc),
+            }
+        )
+        _progress(
+            f"ndt: scan1 multiscale+coarse: {pairs_per_sec_mc:.0f} pairs/s "
+            f"({ok_lanes(result_mc)}/256 lanes converged)"
+        )
+
         # scans 2-3: workload robustness rows (same protocol as the other
         # method families' matrix cells).
         for scan_id in (2, 3):
@@ -1008,16 +1041,28 @@ def run_online_slam(metrics, jnp, icp):
     """OnlineSlam per-scan latency evidence (VERDICT round-3 item 2): the
     p50/p99 of ``add_scan`` and the refine-scan stall, serial vs pipelined,
     on the bundled seq1 stream — the exact style of the stream_scan_ms
-    rows, for the flagship online module."""
+    rows, for the flagship online module.
+
+    seq1's only revisit lands in the final keyframes, so its stream never
+    accepts a closure mid-run and ``refine_stall_ms`` stays null (the
+    round-4 honest note).  The two-lap ``seq2loop`` stream (rows suffixed
+    ``_seq2loop``) revisits every lap-1 pose mid-stream: its refinements
+    accept closures and re-solve the graph while scans are still arriving,
+    so those rows measure the ACTUAL accepting-refine stall."""
+    for seq, suffix in (("seq1", ""), ("seq2loop", "_seq2loop")):
+        _run_online_slam_seq(metrics, jnp, icp, seq, suffix)
+
+
+def _run_online_slam_seq(metrics, jnp, icp, seq, suffix):
     import glob as _glob
 
     from icp_tpu import slam
     from icp_tpu.io import parse_sweep
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(_glob.glob(os.path.join(repo, "ex_data", "seq1", "sweep_*.conf")))
+    paths = sorted(_glob.glob(os.path.join(repo, "ex_data", seq, "sweep_*.conf")))
     if not paths:
-        _progress("online_slam: seq1 not found; skipping")
+        _progress(f"online_slam: {seq} not found; skipping")
         return
     clouds = [icp.pad_to(parse_sweep(p, dtype=np.float32), 1024) for p in paths]
     method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=0.9))
@@ -1042,7 +1087,7 @@ def run_online_slam(metrics, jnp, icp):
         return np.asarray(times[1:]), np.asarray(refined[1:])
 
     for pipelined, tag in ((False, "serial"), (True, "pipelined")):
-        _progress(f"online_slam: warm-up ({tag}) ...")
+        _progress(f"online_slam[{seq}]: warm-up ({tag}) ...")
         run_once(pipelined)  # compile pass
         times, refined = run_once(pipelined)
         p50 = float(np.percentile(times, 50))
@@ -1050,23 +1095,26 @@ def run_online_slam(metrics, jnp, icp):
         stall = float(times[refined].max()) if refined.any() else None
         metrics.append(
             {
-                "metric": f"online_slam_scan_ms_p50_{tag}",
+                "metric": f"online_slam_scan_ms_p50_{tag}{suffix}",
                 "value": round(p50, 2),
-                "unit": "ms/scan add_scan p50 (seq1, loop_every=8)",
+                "unit": f"ms/scan add_scan p50 ({seq}, loop_every=8)",
                 "vs_baseline": None,
                 "p99_ms": round(p99, 2),
                 "refine_stall_ms": round(stall, 2) if stall is not None else None,
+                "accepting_refines": int(refined.sum()),
             }
         )
         _progress(
-            f"online_slam {tag}: p50 {p50:.1f} ms p99 {p99:.1f} ms"
+            f"online_slam[{seq}] {tag}: p50 {p50:.1f} ms p99 {p99:.1f} ms"
             + (f" refine stall {stall:.1f} ms" if stall is not None else "")
         )
     serial_row = next(
-        m for m in metrics if m["metric"] == "online_slam_scan_ms_p50_serial"
+        m for m in metrics
+        if m["metric"] == f"online_slam_scan_ms_p50_serial{suffix}"
     )
     piped_row = next(
-        m for m in metrics if m["metric"] == "online_slam_scan_ms_p50_pipelined"
+        m for m in metrics
+        if m["metric"] == f"online_slam_scan_ms_p50_pipelined{suffix}"
     )
     piped_row["vs_baseline"] = round(
         serial_row["value"] / max(piped_row["value"], 1e-9), 2

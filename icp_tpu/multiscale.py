@@ -96,6 +96,7 @@ def converge_ndt_multiscale(
     scales: tuple[float, ...] = (4.0,),
     coarse_max_iterations: int | None = 10,
     decimate_factor: int | None = None,
+    coarse_init: bool = False,
 ) -> tuple[ConvergenceState, object]:
     """Coarse-to-fine NDT: a CELL-SIZE schedule, the standard NDT practice
     (Magnusson 2009 §6.5 uses exactly this) the point-decimation pyramid
@@ -129,6 +130,19 @@ def converge_ndt_multiscale(
     (``cell_size``, ``cells``, ``lookup``, ``variant`` — every key is
     honored at every level; only ``cell_size`` is scaled).  Returns the
     fine level's ``(ConvergenceState, method state)``.
+
+    ``coarse_init=True`` replaces ``guess`` with the global coarse
+    initializer (:mod:`icp_tpu.ops.coarse` — centroid shift + rotation
+    search), the same rescue the streaming front-end uses for anomalous
+    scans.  NDT's score surface is only as wide as its coarsest Gaussians,
+    so a schedule alone cannot recover arbitrarily bad starts — measured
+    on the bench's hard scan1 fleet (±0.15 rad / ±0.6 m, B=256): the
+    8x→2x→1x schedule converges 188/256 lanes from the raw perturbed
+    guesses and **256/256** from the coarse initializer (CPU; chip row
+    ``scan1_ndt_multiscale_coarse_*`` in ``bench_results.json``).  Use it
+    whenever no trustworthy guess exists (global localization, map-merge
+    seeding); keep the caller's guess when tracking (odometry seeds are
+    already inside the basin and cost no initializer pass).
     """
     from .config import Config
     from .methods import from_method
@@ -136,6 +150,12 @@ def converge_ndt_multiscale(
     cfg = ndt_config if ndt_config is not None else Config()
     cell_size = float(cfg.get("cell_size", 1.0))
     current = guess
+    if coarse_init:
+        from .ops.coarse import coarse_align_2d, coarse_align_3d
+
+        current = (coarse_align_2d if dim == 2 else coarse_align_3d)(
+            source, target
+        )
     for s in sorted((float(x) for x in scales), reverse=True):
         if s <= 1.0:
             continue

@@ -909,6 +909,55 @@ def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
     )
 
 
+def pad_nodes(graph: PoseGraph, capacity: int) -> PoseGraph:
+    """Pad the node list to exactly ``capacity`` with edge-less replicas of
+    the last pose.
+
+    Inert by construction: no edge references a padding node, so every
+    padding residual row and Jacobian column is identically zero, and the
+    Levenberg damping decouples the padding block in the normal equations —
+    dense: its block is ``damping·I`` with zero RHS, so its update is zero;
+    CG: the Krylov iterates start at zero in the padding components and
+    ``JᵀJ·v + damping·v`` keeps them there.  (:func:`optimize` additionally
+    anchors node 0 only, which padding never is.)
+
+    Why: an online back-end's keyframe count grows a few nodes per
+    refinement, and an unpadded graph hands :func:`optimize`'s ``lax.scan``
+    a NEW shape every time — one XLA compile per refinement, which over a
+    remote-TPU tunnel dwarfs the solve itself.  Rounding nodes (here) and
+    edges (:func:`pad_edges`) to capacity buckets makes refinements reuse
+    one executable per (node-bucket, edge-bucket) pair — the same
+    power-of-two bucketing discipline the cloud capacities and the closure
+    batch already follow (:func:`icp_tpu.cloud.bucket_capacity`).
+    """
+    n = graph.num_nodes
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < num_nodes {n}")
+    if capacity == n:
+        return graph
+    pad = capacity - n
+    dim = graph.dim
+    return dataclasses.replace(
+        graph,
+        poses=RigidTransform(
+            jnp.concatenate(
+                [
+                    graph.poses.rotation,
+                    jnp.broadcast_to(graph.poses.rotation[-1], (pad, dim, dim)),
+                ],
+                axis=0,
+            ),
+            jnp.concatenate(
+                [
+                    graph.poses.translation,
+                    jnp.broadcast_to(graph.poses.translation[-1], (pad, dim)),
+                ],
+                axis=0,
+            ),
+        ),
+    )
+
+
 def shard_over_edges(graph: PoseGraph, mesh, axis: str = "data") -> PoseGraph:
     """Place the edge arrays sharded over ``mesh``'s ``axis``; poses
     replicated.

@@ -216,7 +216,16 @@ class OnlineSlam:
         self._information_neighbors = information_neighbors
 
         self._kf_clouds: list[PointCloud] = []
-        self._kf_poses: list[RigidTransform] = []
+        # Keyframe poses live as ONE stacked device transform (k, ...), not
+        # a Python list: the refinement re-anchor then updates them with two
+        # array ops instead of 2k per-pose slices — measured on the tunnel,
+        # those eager per-pose dispatches (~5 ms each at k≈150) were the
+        # largest remaining term of the accepting-refine stall after the
+        # bucketed solve landed.  Fresh promotions go to ``_kf_pending``
+        # (pure Python append, zero device ops on the hot path) and fold
+        # into the stack lazily — one concatenate per refinement.
+        self._kf_poses: RigidTransform | None = None
+        self._kf_pending: list[RigidTransform] = []
         self._odo_meas: list[RigidTransform] = []  # immutable, promotion-time
         self._loop_edges: list[tuple[int, int]] = []
         self._loop_meas: list[RigidTransform] = []
@@ -259,16 +268,40 @@ class OnlineSlam:
                 self._retry_factor,
             )
         )
+        # Bucketed refinement solve (see _refine): one jitted executable per
+        # (node-bucket, edge-bucket) shape pair instead of one XLA compile
+        # per refinement — the keyframe count grows a few nodes per refine,
+        # and over the TPU tunnel the per-shape compile dwarfs the solve.
+        # Kernel/solver/iteration knobs are closed over (static); the
+        # robust-edge mask is a traced array, so the closure boundary moving
+        # inside the bucket reuses the executable.
+        self._graph_solve = jax.jit(
+            lambda graph, mask: pose_graph.optimize(
+                graph, iterations=self._gn_iterations, solver=self._gn_solver,
+                robust=self._robust, robust_scale=self._robust_scale,
+                robust_edges=mask,
+            )
+        )
 
     # -- public API ---------------------------------------------------------
 
     @property
     def keyframe_poses(self) -> RigidTransform:
         """Current (refined) keyframe trajectory, stacked ``(K, ...)``."""
-        return RigidTransform(
-            jnp.stack([p.rotation for p in self._kf_poses]),
-            jnp.stack([p.translation for p in self._kf_poses]),
-        )
+        if self._kf_pending:
+            pend_r = jnp.stack([p.rotation for p in self._kf_pending])
+            pend_t = jnp.stack([p.translation for p in self._kf_pending])
+            if self._kf_poses is None:
+                self._kf_poses = RigidTransform(pend_r, pend_t)
+            else:
+                self._kf_poses = RigidTransform(
+                    jnp.concatenate([self._kf_poses.rotation, pend_r]),
+                    jnp.concatenate([self._kf_poses.translation, pend_t]),
+                )
+            self._kf_pending = []
+        if self._kf_poses is None:
+            raise ValueError("no keyframes yet")
+        return self._kf_poses
 
     def add_scan(self, scan: PointCloud) -> OnlineUpdate | None:
         """Feed one scan.  Serial mode returns this scan's update; pipelined
@@ -428,10 +461,8 @@ class OnlineSlam:
             "num_keyframes": np.asarray(len(self._kf_clouds)),
             "kf_points": np.stack([np.asarray(c.points) for c in self._kf_clouds]),
             "kf_counts": np.asarray([np.asarray(c.count) for c in self._kf_clouds]),
-            "kf_rot": np.stack([np.asarray(p.rotation) for p in self._kf_poses]),
-            "kf_trans": np.stack(
-                [np.asarray(p.translation) for p in self._kf_poses]
-            ),
+            "kf_rot": np.asarray(self.keyframe_poses.rotation),
+            "kf_trans": np.asarray(self.keyframe_poses.translation),
             "pose_rot": np.asarray(self._pose.rotation),
             "pose_trans": np.asarray(self._pose.translation),
             "kf_since_refine": np.asarray(self._kf_since_refine),
@@ -479,12 +510,10 @@ class OnlineSlam:
             )
             for i in range(k)
         ]
-        self._kf_poses = [
-            RigidTransform(
-                jnp.asarray(state["kf_rot"][i]), jnp.asarray(state["kf_trans"][i])
-            )
-            for i in range(k)
-        ]
+        self._kf_poses = RigidTransform(
+            jnp.asarray(state["kf_rot"]), jnp.asarray(state["kf_trans"])
+        )
+        self._kf_pending = []
         self._odo_meas = [
             RigidTransform(
                 jnp.asarray(state["odo_rot"][i]), jnp.asarray(state["odo_trans"][i])
@@ -526,7 +555,9 @@ class OnlineSlam:
                 # (its pose is NOT the live pose, so re-anchor the chain).
                 self._prev_scan = self._kf_clouds[-1]
                 self._pose = self._cur_kf_pose
-        self._cur_kf_pose = self._kf_poses[-1]
+        self._cur_kf_pose = RigidTransform(
+            self._kf_poses.rotation[-1], self._kf_poses.translation[-1]
+        )
         self._pose = RigidTransform(
             jnp.asarray(state["pose_rot"]), jnp.asarray(state["pose_trans"])
         )
@@ -588,7 +619,7 @@ class OnlineSlam:
         Pipelined mode materializes the in-flight scan first."""
         if self._pipelined:
             self.flush()
-        if len(self._kf_poses) < 2:
+        if len(self._kf_clouds) < 2:
             return False
         refined = self._refine()
         self._kf_since_refine = 0
@@ -597,7 +628,7 @@ class OnlineSlam:
     # -- internals ----------------------------------------------------------
 
     def _promote(self, scan: PointCloud, pose: RigidTransform) -> None:
-        if self._kf_poses:
+        if self._kf_clouds:
             # The keyframe-to-keyframe odometry MEASUREMENT, captured at
             # promotion time (== the registration-derived relative
             # transform).  The graph must optimize against these immutable
@@ -609,8 +640,8 @@ class OnlineSlam:
             self._odo_meas.append(
                 geometry.compose(geometry.inverse(self._cur_kf_pose), pose)
             )
+        self._kf_pending.append(pose)
         self._kf_clouds.append(scan)
-        self._kf_poses.append(pose)
         if self._loop_detector == "descriptor":
             # Descriptors are immutable per scan: compute once at promotion.
             from .ops.descriptor import scan_context
@@ -621,11 +652,25 @@ class OnlineSlam:
         self._cur_kf_pose = pose
 
     def _refine(self) -> bool:
-        """Detect + register new closures, robust-solve, re-anchor."""
+        """Detect + register new closures, robust-solve, re-anchor.
+
+        Every shape in here is BUCKETED so successive refinements reuse
+        executables instead of recompiling (the keyframe count grows a few
+        nodes per refine; measured on the seq2loop stream, the per-refine
+        XLA compile of the growing graph dominated the accepting-refine
+        stall): the candidate search runs on a node-bucket-padded
+        trajectory (padding poses placed ~1e9 m away so they can never be
+        candidates), the closure batch pads to a power-of-two (as before),
+        and the graph solve pads nodes (:func:`icp_tpu.pose_graph.pad_nodes`,
+        edge-less ⇒ exactly inert) and edges (zero-weight ⇒ exactly inert)
+        to capacity buckets before hitting the jitted solver built in
+        ``__init__``.
+        """
         from .cloud import bucket_capacity
 
         poses = self.keyframe_poses
-        k = len(self._kf_poses)
+        k = len(self._kf_clouds)
+        node_cap = bucket_capacity(k, min_capacity=16)
         yaw_by_pair: dict[tuple[int, int], float] = {}
         if self._loop_detector == "descriptor":
             # Incremental retrieval: descriptors are immutable, so only
@@ -650,15 +695,39 @@ class OnlineSlam:
                 for (i, j), y in zip(np.asarray(cands).reshape(-1, 2), np.asarray(yaws))
             }
         else:
+            # Search on the node-bucket-padded trajectory so the O(T²)
+            # distance matrix (and its top-k) compile once per bucket, not
+            # once per keyframe count.  Padding poses sit i·1e9 m apart —
+            # farther than any radius from every real pose and from each
+            # other — so they produce no candidates.
+            pad = node_cap - k
+            if pad:
+                far = (
+                    jnp.arange(1, pad + 1, dtype=poses.dtype)[:, None] * 1e9
+                ) * jnp.ones((1, poses.dim), dtype=poses.dtype)
+                search_poses = RigidTransform(
+                    jnp.concatenate(
+                        [
+                            poses.rotation,
+                            jnp.broadcast_to(
+                                jnp.eye(poses.dim, dtype=poses.dtype),
+                                (pad, poses.dim, poses.dim),
+                            ),
+                        ]
+                    ),
+                    jnp.concatenate([poses.translation, far]),
+                )
+            else:
+                search_poses = poses
             cands = pose_graph.find_loop_candidates(
-                poses, radius=self._loop_radius,
+                search_poses, radius=self._loop_radius,
                 min_separation=self._loop_min_sep,
                 max_candidates=self._loop_max_cands,
             )
         fresh = [
             (int(i), int(j))
             for i, j in np.asarray(cands).reshape(-1, 2)
-            if (int(i), int(j)) not in self._tried_pairs
+            if (int(i), int(j)) not in self._tried_pairs and int(j) < k
         ]
         if fresh:
             self._tried_pairs.update(fresh)
@@ -703,12 +772,19 @@ class OnlineSlam:
             from .ops.covariance import cloud_information
 
             # Information from each closure's TARGET keyframe geometry.
+            # Bucket the target stack (duplicate-last padding, sliced off
+            # after) so the information contraction also reuses executables
+            # across refinements instead of recompiling at every closure
+            # count.
             targets = [self._kf_clouds[a] for a, _ in self._loop_edges]
+            n_info = len(targets)
+            cap_info = bucket_capacity(n_info, min_capacity=4)
+            targets = targets + [targets[-1]] * (cap_info - n_info)
             tgt = PointCloud(
                 jnp.stack([c.points for c in targets]),
                 jnp.stack([c.count for c in targets]),
             )
-            loop_info = cloud_information(tgt, k=self._information_neighbors)
+            loop_info = cloud_information(tgt, k=self._information_neighbors)[:n_info]
         graph = pose_graph.graph_from_trajectory(
             poses,
             RigidTransform(
@@ -724,21 +800,25 @@ class OnlineSlam:
             loop_weight=self._loop_weight,
             loop_information=loop_info,
         )
-        mask = jnp.arange(graph.num_edges) >= k - 1
-        graph, _ = pose_graph.optimize(
-            graph, iterations=self._gn_iterations, solver=self._gn_solver,
-            robust=self._robust, robust_scale=self._robust_scale,
-            robust_edges=mask,
+        n_edges = graph.num_edges  # [odometry (k-1) | closures] before padding
+        graph = pose_graph.pad_edges(
+            pose_graph.pad_nodes(graph, node_cap),
+            bucket_capacity(n_edges, min_capacity=16),
         )
+        idx = jnp.arange(graph.num_edges)
+        mask = (idx >= k - 1) & (idx < n_edges)  # closures only, never padding
+        graph, _ = self._graph_solve(graph, mask)
         # Re-anchor: replace keyframe poses; shift the live pose by the
         # correction applied to the current keyframe (pose = kf ∘ rel keeps
         # the scan-relative offset).
         old_kf = self._cur_kf_pose
-        self._kf_poses = [
-            RigidTransform(graph.poses.rotation[t], graph.poses.translation[t])
-            for t in range(k)
-        ]
-        self._cur_kf_pose = self._kf_poses[-1]
+        # Two array ops, not 2k per-pose slices (the padded tail is dropped).
+        self._kf_poses = RigidTransform(
+            graph.poses.rotation[:k], graph.poses.translation[:k]
+        )
+        self._cur_kf_pose = RigidTransform(
+            graph.poses.rotation[k - 1], graph.poses.translation[k - 1]
+        )
         rel_live = geometry.compose(geometry.inverse(old_kf), self._pose)
         self._pose = geometry.compose(self._cur_kf_pose, rel_live)
         return True

@@ -158,6 +158,55 @@ def test_ndt_multiscale_widens_basin_and_cuts_fine_iterations():
         )
 
 
+def test_ndt_multiscale_coarse_init_recovers_extreme_starts():
+    """``coarse_init=True``: the schedule widens the basin but cannot
+    recover arbitrarily bad starts (a coarse Gaussian still only sees a
+    few cells); the global initializer can.  Extreme fleet here:
+    ±π rad / ±3 m — far outside even the 8x level's attraction region —
+    diverges under the plain schedule and fully recovers under
+    ``coarse_init`` (bench-scale hard fleet: 188/256 → 256/256, the
+    ``scan1_ndt_multiscale_coarse_*`` row)."""
+    import jax
+    import jax.tree as jtree
+
+    from icp_tpu.multiscale import converge_ndt_multiscale
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    a_pts = icp.io.parse_lidar_scan_array(f"{repo}/ex_data/scan1/first.csv")
+    b_pts = icp.io.parse_lidar_scan_array(f"{repo}/ex_data/scan1/second.csv")
+    a1 = icp.from_points(a_pts, capacity=1024, dtype=np.float64)
+    b1 = icp.from_points(b_pts, capacity=1024, dtype=np.float64)
+    B = 6
+    a = jtree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), a1)
+    b = jtree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), b1)
+    rng = np.random.default_rng(7)
+    guess = icp.geometry.from_angle_2d(
+        jnp.asarray(rng.uniform(-np.pi, np.pi, B)),
+        jnp.asarray(rng.uniform(-3.0, 3.0, (B, 2))),
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=50, angle_tolerance=0.1 * np.pi / 180,
+        translation_tolerance=0.01,
+    )
+    ncfg = icp.Config(cell_size=1.0, cells=1024)
+    tm = icp.from_method("trimmed", 2)
+    ref_res, _ = icp.converge(tm, a1, b1, icp.identity(2, dtype=np.float64), cfg)
+    ref = np.asarray(ref_res.transform.translation)
+
+    def lanes(result):
+        d = np.linalg.norm(np.asarray(result.transform.translation) - ref, axis=-1)
+        return int((d < 0.05).sum())
+
+    common = dict(dim=2, ndt_config=ncfg, scales=(8.0, 2.0),
+                  coarse_max_iterations=6)
+    plain = converge_ndt_multiscale(a, b, guess, cfg, **common)[0]
+    seeded = converge_ndt_multiscale(
+        a, b, guess, cfg, coarse_init=True, **common
+    )[0]
+    assert lanes(plain) < B, "extreme fleet unexpectedly inside the basin"
+    assert lanes(seeded) == B, np.asarray(seeded.transform.translation)
+
+
 def test_ndt_multiscale_identity_guess_and_cell_size_floor():
     """Two more pins on the bundled scan1 pair (true motion ~0.47 m):
 

@@ -459,6 +459,66 @@ def test_pad_edges_exact(rng):
     np.testing.assert_allclose(np.asarray(costs_a), np.asarray(costs_b), atol=1e-12)
 
 
+@pytest.mark.parametrize("solver", ["dense", "pcg"])
+@pytest.mark.parametrize("robust", ["none", "gnc_gm"])
+def test_pad_nodes_exact(rng, solver, robust):
+    """Edge-less padding nodes never perturb the solve: the real poses and
+    the cost trace match the unpadded graph (dense: the padding block of
+    the damped normal equations is ``damping·I`` with zero RHS; CG: the
+    Krylov iterates stay zero in the padding components).  The bucketed
+    OnlineSlam refinement relies on this exactness."""
+    graph = _random_graph(rng, t_steps=11, n_loops=3)
+    mask = jnp.arange(graph.num_edges) >= graph.num_nodes - 1
+    padded = pose_graph.pad_nodes(graph, 16)
+    assert padded.num_nodes == 16
+    kw = dict(iterations=8, solver=solver, robust=robust,
+              robust_scale="auto" if robust != "none" else 1.0,
+              robust_edges=mask)
+    opt_a, costs_a = pose_graph.optimize(graph, **kw)
+    opt_b, costs_b = pose_graph.optimize(padded, **kw)
+    n = graph.num_nodes
+    np.testing.assert_allclose(
+        np.asarray(opt_a.poses.translation),
+        np.asarray(opt_b.poses.translation)[:n], atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_a.poses.rotation),
+        np.asarray(opt_b.poses.rotation)[:n], atol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(costs_a), np.asarray(costs_b), atol=1e-10)
+    # Padding poses stayed put (update exactly zero).
+    np.testing.assert_allclose(
+        np.asarray(opt_b.poses.translation)[n:],
+        np.asarray(graph.poses.translation)[-1][None].repeat(16 - n, 0),
+        atol=1e-12,
+    )
+
+
+def test_pad_nodes_then_pad_edges_exact(rng):
+    """The composed bucketing the online refinement uses: nodes to a
+    capacity, then edges to a bucket — still exact, under the closure-only
+    robust mask laid out in the padded edge order
+    ([odometry | closures | padding])."""
+    graph = _random_graph(rng, t_steps=11, n_loops=3)
+    n, e = graph.num_nodes, graph.num_edges
+    mask = jnp.arange(e) >= n - 1
+    opt_a, costs_a = pose_graph.optimize(
+        graph, iterations=8, solver="dense", robust="gnc_gm",
+        robust_scale="auto", robust_edges=mask,
+    )
+    padded = pose_graph.pad_edges(pose_graph.pad_nodes(graph, 16), 32)
+    pmask = (jnp.arange(padded.num_edges) >= n - 1) & (jnp.arange(padded.num_edges) < e)
+    opt_b, costs_b = pose_graph.optimize(
+        padded, iterations=8, solver="dense", robust="gnc_gm",
+        robust_scale="auto", robust_edges=pmask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_a.poses.translation),
+        np.asarray(opt_b.poses.translation)[:n], atol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(costs_a), np.asarray(costs_b), atol=1e-10)
+
+
 def test_pose_graph_sharded_vs_single(rng):
     """Edge-sharded pcg over the 8-device mesh == single-device result."""
     from icp_tpu.parallel.mesh import make_mesh

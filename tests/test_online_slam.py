@@ -108,7 +108,7 @@ def test_online_slam_rejects_injected_wrong_closure(rng):
         injected = False
         for t, s in enumerate(scans):
             u = online.add_scan(s)
-            if inject and not injected and len(online._kf_poses) >= 12:
+            if inject and not injected and len(online._kf_clouds) >= 12:
                 # Fabricate a closure claiming keyframe 10 meets keyframe 1
                 # offset 1.5 m from the truth-consistent relative pose.
                 ps = online.keyframe_poses
