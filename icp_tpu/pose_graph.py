@@ -797,6 +797,7 @@ def find_loop_candidates_topk(
     radius: float,
     min_separation: int = 10,
     k: int = 64,
+    exclude: Array | None = None,
 ) -> tuple[Array, Array]:
     """Device-side loop-candidate search: static-shape top-``k`` over the
     (T, T) pose-distance matrix.
@@ -807,6 +808,13 @@ def find_loop_candidates_topk(
     pair order, matching the host path).  Entirely jittable — no host
     round-trip, no data-dependent shapes — so it runs as one fused kernel
     on the trajectory already resident on device.
+
+    ``exclude`` (bool ``(T, T)``, optional): pairs to skip BEFORE the
+    top-``k`` truncation — e.g. already-tried pairs.  Without it a caller
+    that filters tried pairs afterwards can starve: once the ``k`` closest
+    pairs are all tried, no fresh pair can ever surface regardless of how
+    often the search runs (measured on the two-lap merge: refine-to-
+    saturation stalled at 21 closures with the trajectory tail un-pinned).
     """
     t = poses.translation
     n = t.shape[0]
@@ -814,6 +822,8 @@ def find_loop_candidates_topk(
     idx = jnp.arange(n)
     sep = idx[None, :] - idx[:, None]  # j - i
     ok = (d < radius) & (sep >= min_separation)  # sep >= min also forces j > i
+    if exclude is not None:
+        ok = ok & ~exclude
     masked = jnp.where(ok, d, jnp.asarray(jnp.inf, d.dtype))
     neg, flat_idx = jax.lax.top_k(-masked.reshape(-1), min(k, n * n))
     pairs = jnp.stack([flat_idx // n, flat_idx % n], axis=-1).astype(jnp.int32)
@@ -825,6 +835,7 @@ def find_loop_candidates(
     radius: float,
     min_separation: int = 10,
     max_candidates: int | None = None,
+    exclude: Array | None = None,
 ) -> Array:
     """Candidate loop-closure pairs ``(K, 2)``: trajectory indices whose
     poses are within ``radius`` but at least ``min_separation`` steps apart.
@@ -846,17 +857,22 @@ def find_loop_candidates(
     if max_candidates is not None:
         budget = max_candidates
     else:
-        nvalid = int(_count_loop_candidates(poses, radius, min_separation))
+        nvalid = int(
+            _count_loop_candidates(poses, radius, min_separation, exclude)
+        )
         budget = min(max(1, 1 << (max(1, nvalid) - 1).bit_length()), total)
     pairs, valid = find_loop_candidates_topk(
-        poses, radius, min_separation=min_separation, k=budget
+        poses, radius, min_separation=min_separation, k=budget, exclude=exclude
     )
     return jnp.asarray(np.asarray(pairs)[np.asarray(valid)], dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("min_separation",))
 def _count_loop_candidates(
-    poses: RigidTransform, radius: float, min_separation: int
+    poses: RigidTransform,
+    radius: float,
+    min_separation: int,
+    exclude: Array | None = None,
 ) -> Array:
     """Exact count of valid loop-candidate pairs — one O(T²) reduction."""
     t = poses.translation
@@ -864,7 +880,10 @@ def _count_loop_candidates(
     d = jnp.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
     idx = jnp.arange(n)
     sep = idx[None, :] - idx[:, None]
-    return jnp.sum((d < radius) & (sep >= min_separation))
+    ok = (d < radius) & (sep >= min_separation)
+    if exclude is not None:
+        ok = ok & ~exclude
+    return jnp.sum(ok)
 
 
 def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
@@ -1070,7 +1089,7 @@ def graph_from_trajectory(
     odometry_measurements: RigidTransform,
     loop_edges: Array | None = None,
     loop_measurements: RigidTransform | None = None,
-    odometry_weight: float = 1.0,
+    odometry_weight: float | Array = 1.0,
     loop_weight: float = 1.0,
     loop_information: Array | None = None,
 ) -> PoseGraph:
@@ -1094,7 +1113,13 @@ def graph_from_trajectory(
         axis=-1,
     )
     meas = odometry_measurements
-    weights = jnp.full((t - 1,), odometry_weight, dtype=dtype)
+    # Scalar (the common case) or per-edge (T-1,) weights — per-edge lets a
+    # caller carry one low-trust chain link, e.g. merge_sessions' bridge
+    # edge, whose measurement derives from drifted estimates and must not
+    # fight the closures at full odometry stiffness.
+    weights = jnp.broadcast_to(
+        jnp.asarray(odometry_weight, dtype=dtype), (t - 1,)
+    )
     sqrt_info = None
     if loop_edges is not None and loop_edges.shape[0] > 0:
         ij = jnp.concatenate([ij, loop_edges.astype(jnp.int32)], axis=0)

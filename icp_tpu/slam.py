@@ -168,6 +168,7 @@ class OnlineSlam:
         loop_min_separation: int = 10,
         loop_max_candidates: int = 16,
         loop_max_cost: float | None = None,
+        loop_coarse: bool = False,
         loop_weight: float = 10.0,
         odometry_weight: float = 1.0,
         robust: str = "gnc_gm",
@@ -206,6 +207,18 @@ class OnlineSlam:
         self._loop_min_sep = loop_min_separation
         self._loop_max_cands = loop_max_candidates
         self._loop_max_cost = loop_max_cost
+        # Closure-registration seeding.  False (default): seed from the
+        # current pose estimates (X_i^{-1} X_j) — right while TRACKING,
+        # where drift between candidate pairs is small.  True: seed every
+        # candidate from the global coarse initializer instead
+        # (register_loop_closures' coarse path, the run_slam loop_coarse
+        # analogue) — for trajectories whose estimates carry relative
+        # drift beyond the method's basin.  (On the two-lap merge workload
+        # pose seeds were measured fine — closure measurement error vs
+        # ground truth: mean 0.013 m at ~1 m drift — so the default holds
+        # even there; the knob exists for worse-drifted or more aliased
+        # regimes.)
+        self._loop_coarse = loop_coarse
         self._loop_weight = loop_weight
         self._odometry_weight = odometry_weight
         self._robust = robust
@@ -227,6 +240,12 @@ class OnlineSlam:
         self._kf_poses: RigidTransform | None = None
         self._kf_pending: list[RigidTransform] = []
         self._odo_meas: list[RigidTransform] = []  # immutable, promotion-time
+        # Per-odometry-edge weight multipliers (x odometry_weight).  1.0
+        # for every registration-derived edge; merge_sessions inserts one
+        # low-trust bridge link (its measurement derives from drifted
+        # estimates, so it must provide chain connectivity without
+        # fighting the closures at odometry stiffness).
+        self._odo_weight_scale: list[float] = []
         self._loop_edges: list[tuple[int, int]] = []
         self._loop_meas: list[RigidTransform] = []
         self._tried_pairs: set[tuple[int, int]] = set()
@@ -489,6 +508,9 @@ class OnlineSlam:
             out["odo_trans"] = np.stack(
                 [np.asarray(m.translation) for m in self._odo_meas]
             )
+            out["odo_weight_scale"] = np.asarray(
+                self._odo_weight_scale, dtype=np.float64
+            )
         if self._loop_meas:
             out["loop_rot"] = np.stack(
                 [np.asarray(m.rotation) for m in self._loop_meas]
@@ -520,6 +542,12 @@ class OnlineSlam:
             )
             for i in range(k - 1)
         ] if "odo_rot" in state else []
+        self._odo_weight_scale = [
+            float(x)
+            for x in np.asarray(
+                state.get("odo_weight_scale", np.ones(len(self._odo_meas)))
+            )
+        ]
         self._loop_edges = [
             (int(i), int(j)) for i, j in np.asarray(state["loop_edges"])
         ]
@@ -640,6 +668,7 @@ class OnlineSlam:
             self._odo_meas.append(
                 geometry.compose(geometry.inverse(self._cur_kf_pose), pose)
             )
+            self._odo_weight_scale.append(1.0)
         self._kf_pending.append(pose)
         self._kf_clouds.append(scan)
         if self._loop_detector == "descriptor":
@@ -719,10 +748,22 @@ class OnlineSlam:
                 )
             else:
                 search_poses = poses
+            # Exclude already-tried pairs BEFORE the top-k truncation, so
+            # the candidate budget is spent entirely on FRESH pairs —
+            # without this, once the budget's-worth of closest pairs are
+            # tried no new pair can ever surface (starves merge_sessions'
+            # refine-to-saturation and wastes budget in long sessions).
+            exclude = None
+            if self._tried_pairs:
+                ex = np.zeros((node_cap, node_cap), dtype=bool)
+                tried = np.asarray(sorted(self._tried_pairs), dtype=np.int64)
+                ex[tried[:, 0], tried[:, 1]] = True
+                exclude = jnp.asarray(ex)
             cands = pose_graph.find_loop_candidates(
                 search_poses, radius=self._loop_radius,
                 min_separation=self._loop_min_sep,
                 max_candidates=self._loop_max_cands,
+                exclude=exclude,
             )
         fresh = [
             (int(i), int(j))
@@ -751,6 +792,7 @@ class OnlineSlam:
             edges, meas, _ = pose_graph.register_loop_closures(
                 stack, poses, jnp.asarray(padded, dtype=jnp.int32),
                 self._method, self._config, max_cost=self._loop_max_cost,
+                coarse=self._loop_coarse and guesses is None,
                 guesses=guesses,
             )
             edges_np = np.asarray(edges)
@@ -796,7 +838,8 @@ class OnlineSlam:
                 jnp.stack([m.rotation for m in self._loop_meas]),
                 jnp.stack([m.translation for m in self._loop_meas]),
             ),
-            odometry_weight=self._odometry_weight,
+            odometry_weight=self._odometry_weight
+            * jnp.asarray(self._odo_weight_scale, dtype=poses.dtype),
             loop_weight=self._loop_weight,
             loop_information=loop_info,
         )
@@ -822,6 +865,244 @@ class OnlineSlam:
         rel_live = geometry.compose(geometry.inverse(old_kf), self._pose)
         self._pose = geometry.compose(self._cur_kf_pose, rel_live)
         return True
+
+
+@dataclasses.dataclass(frozen=True)
+class MergeReport:
+    """Evidence behind a :func:`merge_sessions` call."""
+
+    anchor: RigidTransform  # world_a-from-world_b
+    keyframes: tuple  # (k_a, k_b)
+    new_closures: int  # closures the merge refinement added (mostly cross-session)
+    refined: bool  # the joint robust solve ran
+
+
+def merge_sessions(
+    a: OnlineSlam,
+    b: OnlineSlam,
+    *,
+    anchor: RigidTransform | None = None,
+    refine: bool = True,
+    relocalize_kwargs: dict | None = None,
+) -> tuple[OnlineSlam, MergeReport]:
+    """Merge two SLAM sessions into ONE continuing :class:`OnlineSlam`
+    (multi-session / multi-robot mapping: two runs of the same environment
+    become a single jointly-optimized map that keeps streaming).
+
+    ``anchor`` is the rigid ``world_a``-from-``world_b`` transform.  Pass
+    it when the rendezvous is known (e.g. both sessions started at the
+    same dock, or an external fiducial ties them); leave it ``None`` to
+    recover it by global relocalization of ``b``'s first keyframe against
+    ``a``'s descriptor database (requires both sessions in
+    ``loop_detector='descriptor'`` mode; raises ``ValueError`` when the
+    appearance gate rejects every candidate — perceptually aliased worlds
+    give retrieval no separation, the documented seq1 finding, and a wrong
+    anchor is worse than no merge).
+
+    The merge is state union + one ordinary refinement:
+
+    * keyframe clouds/poses/descriptors concatenate (``b``'s poses mapped
+      through ``anchor``); relative measurements (odometry + accepted
+      closures) are frame-invariant and carry over verbatim;
+    * one BRIDGE odometry edge ties ``a``'s last keyframe to ``b``'s
+      first (measurement ``X_a_last^{-1} · anchor · X_b_0``) so the merged
+      graph is a single chain — exactly the invariant
+      :meth:`OnlineSlam._refine` optimizes;
+    * ``refine=True`` then runs the standard (bucketed) refinement on the
+      union: the radius/descriptor candidate search finds CROSS-SESSION
+      revisits on its own (after anchoring they are just nearby keyframes
+      with large index separation), registers them, and the robust kernel
+      jointly solves both trajectories — a wrong cross closure is rejected
+      the same way any wrong closure is.  In descriptor mode the merge
+      resets the incremental-retrieval cursor to ``k_a``, so every ``b``
+      keyframe is scored against the full merged database once (the
+      cross-session pairs an incremental session never saw).
+
+    The union goes through :meth:`state_dict`/:meth:`load_state` (the
+    bit-identity-tested restore path), so pipelined sessions are drained
+    exactly like a checkpoint, and the merged session keeps every
+    streaming feature (add_scan, relocalize, resume).  Both sessions must
+    share the cloud capacity and dimension; the merged session inherits
+    ``a``'s method and every knob.  Returns ``(merged, MergeReport)``;
+    ``a`` and ``b`` are left usable (flushed but otherwise untouched).
+
+    No C++ counterpart: the reference registers one pair per run
+    (``/root/reference/bench/main.cpp:14-38``); net-new, like the rest of
+    the SLAM surface.
+    """
+    if not a._kf_clouds or not b._kf_clouds:
+        raise ValueError("both sessions need at least one keyframe")
+    sa = a.state_dict()
+    sb = b.state_dict()
+    if sa["kf_points"].shape[1:] != sb["kf_points"].shape[1:]:
+        raise ValueError(
+            f"cloud capacities differ: {sa['kf_points'].shape[1:]} vs "
+            f"{sb['kf_points'].shape[1:]} — pad both sessions alike"
+        )
+    k_a = int(sa["num_keyframes"])
+    k_b = int(sb["num_keyframes"])
+
+    anchor_kf = 0  # the session-a keyframe the anchor constraint ties to
+    if anchor is None:
+        if a._loop_detector != "descriptor" or b._loop_detector != "descriptor":
+            raise ValueError(
+                "anchor=None recovers the inter-session transform by "
+                "relocalization, which needs both sessions in "
+                "loop_detector='descriptor' mode; pass an explicit anchor "
+                "otherwise"
+            )
+        first_b = PointCloud(
+            jnp.asarray(sb["kf_points"][0]), jnp.asarray(sb["kf_counts"][0])
+        )
+        reloc = a.relocalize(first_b, **(relocalize_kwargs or {}))
+        if reloc is None:
+            raise ValueError(
+                "relocalization found no appearance match for b's first "
+                "keyframe in a's map — pass an explicit anchor"
+            )
+        # reloc.pose is b_kf0's pose in world_a; b_kf0's pose in world_b is
+        # sb['kf_rot'][0] (identity for a fresh session, arbitrary after a
+        # restore): anchor = pose_a ∘ pose_b^{-1}.
+        b0 = RigidTransform(
+            jnp.asarray(sb["kf_rot"][0]), jnp.asarray(sb["kf_trans"][0])
+        )
+        anchor = geometry.compose(reloc.pose, geometry.inverse(b0))
+        anchor_kf = int(reloc.keyframe)
+
+    ar = np.asarray(anchor.rotation, dtype=sa["kf_rot"].dtype)
+    at = np.asarray(anchor.translation, dtype=sa["kf_trans"].dtype)
+    rot_b = np.einsum("ij,kjl->kil", ar, sb["kf_rot"])
+    trans_b = np.einsum("ij,kj->ki", ar, sb["kf_trans"]) + at
+
+    # Bridge odometry measurement: a_last^{-1} ∘ (anchor ∘ b_0).  Its value
+    # derives from session a's DRIFTED estimate of its last keyframe, so it
+    # gets a ~zero weight below — connectivity only (graph_from_trajectory
+    # needs one consecutive chain); the real inter-session constraint is
+    # the ANCHOR LOOP EDGE, measured against the drift-free anchoring
+    # keyframe (the gauge node for an explicit anchor, the relocalization
+    # match otherwise) and robust-guarded like any closure.  With the
+    # bridge at full odometry weight the merge measurably fails: seq2loop
+    # two-lap merge left 0.36-0.40 m keyframe ATE (the bridge carried
+    # lap-1's full 0.85 m drift into a quadratic, un-guarded edge that
+    # fought 250+ accurate closures), vs 0.111 m for the single-session
+    # run of the same data.
+    a_last_r, a_last_t = sa["kf_rot"][-1], sa["kf_trans"][-1]
+    br = a_last_r.T @ rot_b[0]
+    bt = a_last_r.T @ (trans_b[0] - a_last_t)
+    # Anchor loop edge: X_anchor_kf^{-1} ∘ (anchor ∘ b_0), all in world_a.
+    ak_r, ak_t = sa["kf_rot"][anchor_kf], sa["kf_trans"][anchor_kf]
+    anchor_edge_r = ak_r.T @ rot_b[0]
+    anchor_edge_t = ak_r.T @ (trans_b[0] - ak_t)
+
+    def _cat_meas(key_r, key_t, bridge_r, bridge_t):
+        parts_r = [x for x in (sa.get(key_r), bridge_r, sb.get(key_r)) if x is not None]
+        parts_t = [x for x in (sa.get(key_t), bridge_t, sb.get(key_t)) if x is not None]
+        return np.concatenate(parts_r, axis=0), np.concatenate(parts_t, axis=0)
+
+    odo_r, odo_t = _cat_meas("odo_rot", "odo_trans", br[None], bt[None])
+    state = {
+        "num_keyframes": np.asarray(k_a + k_b),
+        "kf_points": np.concatenate([sa["kf_points"], sb["kf_points"]]),
+        "kf_counts": np.concatenate([sa["kf_counts"], sb["kf_counts"]]),
+        "kf_rot": np.concatenate([sa["kf_rot"], rot_b]),
+        "kf_trans": np.concatenate([sa["kf_trans"], trans_b]),
+        # Live pose: b's, carried into world_a.
+        "pose_rot": ar @ sb["pose_rot"],
+        "pose_trans": ar @ sb["pose_trans"] + at,
+        "kf_since_refine": np.asarray(0),
+        "cost_hist": sb["cost_hist"],
+        "tried_pairs": np.concatenate(
+            [
+                sa["tried_pairs"].reshape(-1, 2),
+                sb["tried_pairs"].reshape(-1, 2) + k_a,
+                np.asarray([[anchor_kf, k_a]], dtype=np.int64),
+            ]
+        ),
+        # Descriptor-retrieval cursor: every b keyframe is "new" to the
+        # merged database, so the next refinement scores all of them once
+        # against the union (cross-session pairs included).
+        "desc_queried": np.asarray(min(int(sa.get("desc_queried", 0)), k_a)),
+        "loop_edges": np.concatenate(
+            [
+                sa["loop_edges"].reshape(-1, 2),
+                sb["loop_edges"].reshape(-1, 2) + k_a,
+                np.asarray([[anchor_kf, k_a]], dtype=np.int64),
+            ]
+        ),
+        "odo_rot": odo_r,
+        "odo_trans": odo_t,
+        # The bridge link (index k_a - 1) provides chain connectivity at
+        # ~zero stiffness; see the bridge note above.
+        "odo_weight_scale": np.concatenate(
+            [
+                np.asarray(sa.get("odo_weight_scale", np.ones(max(k_a - 1, 0)))),
+                np.asarray([1e-3]),
+                np.asarray(sb.get("odo_weight_scale", np.ones(max(k_b - 1, 0)))),
+            ]
+        ),
+    }
+    state["loop_rot"] = np.concatenate(
+        [
+            x
+            for x in (sa.get("loop_rot"), sb.get("loop_rot"), anchor_edge_r[None])
+            if x is not None
+        ],
+        axis=0,
+    )
+    state["loop_trans"] = np.concatenate(
+        [
+            x
+            for x in (sa.get("loop_trans"), sb.get("loop_trans"), anchor_edge_t[None])
+            if x is not None
+        ],
+        axis=0,
+    )
+    if "prev_points" in sb:
+        state["prev_points"] = sb["prev_points"]
+        state["prev_count"] = sb["prev_count"]
+
+    merged = OnlineSlam(
+        a._method, a._config,
+        translation_threshold=a._tt, angle_threshold=a._ta,
+        loop_every=a._loop_every, loop_radius=a._loop_radius,
+        loop_detector=a._loop_detector, descriptor_range=a._desc_range,
+        descriptor_max_distance=a._desc_max_dist,
+        loop_min_separation=a._loop_min_sep,
+        loop_max_candidates=a._loop_max_cands, loop_max_cost=a._loop_max_cost,
+        loop_coarse=a._loop_coarse,
+        loop_weight=a._loop_weight, odometry_weight=a._odometry_weight,
+        robust=a._robust, robust_scale=a._robust_scale,
+        gn_iterations=a._gn_iterations, gn_solver=a._gn_solver,
+        closure_information=a._closure_information,
+        information_neighbors=a._information_neighbors,
+        pipelined=a._pipelined,
+    )
+    merged.load_state(state)
+    before = len(merged._loop_edges)
+    refined = False
+    if refine:
+        # Refine to saturation: each solve pulls the trajectories closer,
+        # which brings MORE cross-session pairs inside the candidate
+        # radius (and the per-refine candidate budget is intentionally
+        # small), so iterate until a round adds nothing — the same reason
+        # finalize() exists for a single stream's tail.  Bounded: every
+        # round must add >= 1 closure to continue, and closures are
+        # finite.  (The tried-pair EXCLUSION in the candidate search is
+        # what makes saturation terminate at the right point: without it,
+        # once the budget's-worth of closest pairs are tried no fresh pair
+        # can ever surface — measured: the seq2loop merge stalled at 21
+        # closures with the trajectory tails un-pinned.)
+        for _ in range(16):
+            seen = len(merged._loop_edges)
+            refined = merged._refine() or refined
+            if len(merged._loop_edges) == seen:
+                break
+    return merged, MergeReport(
+        anchor=anchor,
+        keyframes=(k_a, k_b),
+        new_closures=len(merged._loop_edges) - before,
+        refined=refined,
+    )
 
 
 @dataclasses.dataclass(frozen=True)

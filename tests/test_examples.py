@@ -35,6 +35,7 @@ CASES = [
     ("odometry_sequence.py", "optimized ATE"),
     ("odometry_sequence_3d.py", "after closure"),
     ("online_slam.py", "stream done"),
+    ("multi_session_merge.py", "merged sessions:"),
 ]
 
 
