@@ -182,6 +182,66 @@ def test_merge_descriptor_anchor_recovered_by_relocalization(rng):
     )
 
 
+def test_merge_3d_seq3d_split():
+    """SE(3) merge: seq3d split into two half-loops (GICP front-end).  The
+    anchor is session A's estimate at the handoff sweep; the joint solve
+    ties B's tail back onto A through the cross closures at the loop's
+    revisit.  Pins that every merge step (state surgery, anchor mapping,
+    bridge + anchor edge, refinement) is dimension-generic."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seq = os.path.join(repo, "ex_data", "seq3d")
+    paths = sorted(glob.glob(os.path.join(seq, "sweep_*.ply")))
+    clouds = [
+        icp.from_points(icp.read_ply(p), capacity="bucket", dtype=np.float32)
+        for p in paths
+    ]
+    cap = max(c.capacity for c in clouds)
+    clouds = [icp.pad_to(c, cap) for c in clouds]
+    with open(os.path.join(seq, "groundtruth.json")) as f:
+        gt = json.load(f)
+    rot = np.asarray(gt["rotations"])
+    tr = np.asarray(gt["translations"])
+    gt_t0 = np.einsum("ij,tj->ti", rot[0].T, tr - tr[0])
+
+    method = icp.from_method(
+        "gicp", 3, icp.Config(dim=3, neighbors=10, normal_neighbors=10)
+    )
+    cfg = icp.DriverConfig(
+        max_iterations=60, angle_tolerance=1e-5, translation_tolerance=1e-5
+    )
+
+    def sess():
+        return slam.OnlineSlam(
+            method, cfg, translation_threshold=0.5, angle_threshold=0.2,
+            loop_every=8, loop_radius=2.0, loop_min_separation=20,
+            robust="gnc_gm", robust_scale="auto",
+            odometry_weight=100.0, loop_weight=100.0,
+        )
+
+    # Overlapping coverage: B starts at sweep 40, which A also processed —
+    # A's own estimate of that sweep's pose IS the anchor (the same
+    # rendezvous form as the 2D test).
+    a = sess()
+    a_upd = [a.add_scan(s) for s in clouds[:44]]
+    b = sess()
+    for s in clouds[40:]:
+        b.add_scan(s)
+
+    merged, report = slam.merge_sessions(a, b, anchor=a_upd[40].pose)
+    assert report.keyframes[0] + report.keyframes[1] == len(merged._kf_clouds)
+    # The loop's revisit spans the session boundary: the merge refinement
+    # must register at least the end-of-loop closure.
+    assert len(merged._loop_edges) >= 1
+    end_err = float(
+        np.linalg.norm(np.asarray(merged.keyframe_poses.translation[-1]) - gt_t0[-1])
+    )
+    assert end_err < 0.05, end_err
+
+
 def test_merge_validation_errors(rng):
     scans, _ = _circle_scans(rng, t_steps=12)
     method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
