@@ -1,6 +1,6 @@
 """Scan Context place-recognition descriptors (net-new — no reference
 counterpart; the reference's loop story ends at registration,
-``/root/reference/lib/icp/icp.h`` has no retrieval at all).
+``/root/reference/include/icp/icp.h`` has no retrieval at all).
 
 Pose-radius loop-candidate search (:func:`icp_tpu.pose_graph.
 find_loop_candidates`) trusts the drifted trajectory: when accumulated

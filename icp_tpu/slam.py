@@ -927,7 +927,7 @@ def merge_sessions(
     ``a`` and ``b`` are left usable (flushed but otherwise untouched).
 
     No C++ counterpart: the reference registers one pair per run
-    (``/root/reference/bench/main.cpp:14-38``); net-new, like the rest of
+    (``/root/reference/bench/bench.cpp:41-61``); net-new, like the rest of
     the SLAM surface.
     """
     if not a._kf_clouds or not b._kf_clouds:

@@ -9,7 +9,12 @@ fails CI on violations instead of drifting.  Checks, all AST/text based:
 * unused imports (module scope; ``__init__.py`` re-export surfaces exempt,
   ``# noqa`` on the import line exempts it),
 * tabs in indentation, trailing whitespace, missing final newline,
-* lines over 100 characters (URLs in comments exempt).
+* lines over 100 characters (URLs in comments exempt),
+* reference citations: every ``/root/reference/<path>:<line>`` (or
+  ``:<a>-<b>``) mention must name a file that exists with enough lines to
+  cover the cited range — citation accuracy is the repo's parity contract
+  (CLAUDE.md).  Bare-path citations (no line range) are checked for
+  existence only.
 
 Usage: ``python scripts/lint.py [paths...]`` — defaults to the package,
 scripts, tests, and the repo-root entry points.  Exit 1 on any violation.
@@ -18,11 +23,64 @@ scripts, tests, and the repo-root entry points.  Exit 1 on any violation.
 from __future__ import annotations
 
 import ast
+import functools
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAX_LINE = 100
+REFERENCE_ROOT = "/root/reference"
+# ``/root/reference/lib/icp/impl/vanilla.cpp:80`` or ``...:44-65`` or a bare
+# directory/file mention with no line suffix.
+CITATION_RE = re.compile(
+    r"/root/reference/([\w./+-]+?)(?::(\d+)(?:-(\d+))?)?(?=[^\w./:-]|$)"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _ref_line_count(relpath: str) -> int | None:
+    """Line count of a reference file; None if it does not exist."""
+    full = os.path.join(REFERENCE_ROOT, relpath)
+    if os.path.isdir(full):
+        return -1  # directory mention: existence is all we check
+    if not os.path.isfile(full):
+        return None
+    try:
+        with open(full, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return data.count(b"\n") + (0 if data.endswith(b"\n") or not data else 1)
+
+
+def check_citations(path: str, lines: list[str]) -> list[str]:
+    if not os.path.isdir(REFERENCE_ROOT):
+        return []  # reference not mounted (e.g. CI without the tree)
+    problems = []
+    for i, line in enumerate(lines, 1):
+        if "noqa" in line:
+            continue
+        for m in CITATION_RE.finditer(line):
+            if line[m.end() : m.end() + 1] == "{":
+                continue  # f-string/glob template, not a citation
+            rel, lo, hi = m.group(1), m.group(2), m.group(3)
+            rel = rel.rstrip(".")  # sentence-final periods
+            n = _ref_line_count(rel)
+            if n is None:
+                problems.append(
+                    f"{path}:{i}: citation to nonexistent reference file '{rel}'"
+                )
+                continue
+            if n == -1 or lo is None:
+                continue
+            last = int(hi) if hi is not None else int(lo)
+            if int(lo) < 1 or last > n or int(lo) > last:
+                problems.append(
+                    f"{path}:{i}: citation '{rel}:{m.group(0).rsplit(':', 1)[-1]}'"
+                    f" out of range (file has {n} lines)"
+                )
+    return problems
 
 DEFAULT_TARGETS = ["icp_tpu", "scripts", "tests", "bench.py", "__graft_entry__.py", "examples"]
 
@@ -100,6 +158,7 @@ def check_file(path: str) -> list[str]:
         if len(line) > MAX_LINE and "http" not in line:
             problems.append(f"{path}:{i}: line too long ({len(line)} > {MAX_LINE})")
     problems.extend(check_unused_imports(path, tree, lines))
+    problems.extend(check_citations(path, lines))
     return problems
 
 

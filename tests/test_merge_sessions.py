@@ -11,12 +11,11 @@ descriptor database.
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import icp_tpu as icp
-from icp_tpu import geometry, slam
+from icp_tpu import slam
 
 
 def _circle_scans(rng, t_steps=49, radius=4.0, n_world=150, noise=0.02):

@@ -10,7 +10,7 @@ closures MID-STREAM.  These tests pin that behavior — the workload behind
 the ``online_slam_*_seq2loop`` bench rows.
 
 Reference frame: net-new (the reference's only loop-scale artifact is a
-single scan pair; ``/root/reference/bench/main.cpp:14-38`` registers one
+single scan pair; ``/root/reference/bench/bench.cpp:41-61`` registers one
 pair per run).  The online evidence style follows the repo's own
 round-3/4 latency rows (BASELINE.md).
 """

@@ -122,6 +122,41 @@ def test_lint_gate_clean():
     assert out.returncode == 0, out.stdout
 
 
+def test_lint_citation_checker(tmp_path):
+    """The citation checker flags nonexistent files and out-of-range lines.
+
+    Citation accuracy is contractual (CLAUDE.md); round 4 shipped a dangling
+    ``bench/main.cpp`` citation that nothing caught mechanically — this pins
+    the checker added in round 5.
+    """
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "lintmod", os.path.join(repo, "scripts", "lint.py")
+    )
+    lint = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lint)
+
+    if not os.path.isdir("/root/reference"):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+
+    good = "See ``/root/reference/lib/icp/impl/vanilla.cpp:44-65`` for the SVD."
+    assert lint.check_citations("x.py", [good]) == []
+    bad_file = "cites ``/root/reference/bench/main.cpp:14-38`` here"  # noqa: fixture
+    assert any("nonexistent" in p for p in lint.check_citations("x.py", [bad_file]))
+    bad_range = "cites ``/root/reference/lib/icp/impl/vanilla.cpp:4000-4100``"  # noqa: fixture
+    assert any("out of range" in p for p in lint.check_citations("x.py", [bad_range]))
+    # noqa on the line exempts it in file scans (these fixtures rely on that)
+    assert lint.check_citations("x.py", [bad_file + "  # noqa"]) == []
+    template = 'path = f"/root/reference/ex_data/scan{i}/first.csv"'
+    assert lint.check_citations("x.py", [template]) == []
+    bare_dir = "data lives under /root/reference/ex_data (three scan pairs)"
+    assert lint.check_citations("x.py", [bare_dir]) == []
+
+
 def test_site_builder_renders(tmp_path):
     """scripts/gen_site.py renders every doc page with nav + rewritten links."""
     import subprocess
