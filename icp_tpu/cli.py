@@ -455,6 +455,8 @@ def cmd_odometry(args):
             odometry_weight=args.odometry_weight,
             robust=args.robust_kernel,
             robust_scale=args.robust_scale,
+            scale_passes=args.scale_passes,
+            mapping_threshold=args.mapping_threshold,
             closure_information=args.closure_information,
             pipelined=args.pipelined,
         )
@@ -583,30 +585,52 @@ def cmd_odometry(args):
         gn_iterations = args.gn_iterations
         if gn_iterations is None:
             gn_iterations = 10 if args.robust_kernel == "none" else 30
+        n_loop = 0 if loop_edges is None else len(np.asarray(loop_edges))
+        two_pass = (
+            args.robust_kernel != "none"
+            and n_loop > 0
+            and args.scale_passes != 1
+            and (args.scale_passes != "auto" or n_loop >= args.mapping_threshold)
+        )
         if args.robust_kernel != "none" and loop_edges is not None:
             import jax.numpy as jnp
 
-            n_loop = len(np.asarray(loop_edges))
             robust_mask = jnp.arange(graph.num_edges) >= graph.num_edges - n_loop
-            if isinstance(robust_scale, str):  # 'auto'
+            if not two_pass and isinstance(robust_scale, str):  # 'auto'
                 robust_scale = pose_graph.auto_robust_scale(
                     graph, iterations=gn_iterations, robust_edges=robust_mask
                 )
                 print(f"robust scale (auto): {float(robust_scale):.4g}",
                       file=sys.stderr)
-        graph, costs = pose_graph.optimize(
-            graph, iterations=gn_iterations,
-            robust=args.robust_kernel, robust_scale=robust_scale,
-            robust_edges=robust_mask,
-        )
+        if two_pass:
+            # Mapping-scale regime: the validated two-pass welsch recipe
+            # (run_slam's scale_passes='auto' semantics; BASELINE.md
+            # round-4 protocol table).
+            passes = 2 if args.scale_passes == "auto" else int(args.scale_passes)
+            graph, costs, robust_scale, w = pose_graph.robust_solve(
+                graph, robust_edges=robust_mask, iterations=gn_iterations,
+                robust_scale=robust_scale, scale_passes=passes,
+            )
+            print(
+                f"robust scale (two-pass welsch, {n_loop} closures): "
+                f"{float(robust_scale):.4g}",
+                file=sys.stderr,
+            )
+        else:
+            graph, costs = pose_graph.optimize(
+                graph, iterations=gn_iterations,
+                robust=args.robust_kernel, robust_scale=robust_scale,
+                robust_edges=robust_mask,
+            )
         poses = graph.poses
         print(f"pose-graph cost: {float(costs[0]):.6g} -> {float(costs[-1]):.6g}",
               file=sys.stderr)
         if args.robust_kernel != "none" and loop_edges is not None:
-            w, _ = pose_graph.robust_edge_weights(
-                graph, args.robust_kernel, robust_scale,
-                robust_edges=robust_mask,
-            )
+            if not two_pass:
+                w, _ = pose_graph.robust_edge_weights(
+                    graph, args.robust_kernel, robust_scale,
+                    robust_edges=robust_mask,
+                )
             loop_w = np.asarray(w)[-len(np.asarray(loop_edges)):]
             print(
                 "loop-closure robust weights: "
@@ -922,6 +946,19 @@ def main(argv=None):
         help="inlier threshold for --robust-kernel in plain residual units "
         "(meters+radians); 'auto' (default) derives it from an L2 pre-solve "
         "(2x the upper-median closure residual, outlier-tolerant to 50%)",
+    )
+    p_odo.add_argument(
+        "--scale-passes", default="auto",
+        type=lambda s: s if s == "auto" else int(s),
+        help="robust-scale re-estimation passes: 'auto' (default) upgrades "
+        "to the two-pass welsch recipe (pose_graph.robust_solve) once "
+        "--mapping-threshold closures accumulate — the multi-outlier "
+        "protocol's validated configuration; 1 forces single-pass",
+    )
+    p_odo.add_argument(
+        "--mapping-threshold", type=int, default=12,
+        help="accepted-closure count at which --scale-passes 'auto' "
+        "switches to the two-pass mapping-scale solve",
     )
     p_odo.add_argument(
         "--scan-to-map", action="store_true",

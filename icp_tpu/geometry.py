@@ -99,6 +99,36 @@ def compose(outer: RigidTransform, inner: RigidTransform) -> RigidTransform:
     return RigidTransform(rot, trans)
 
 
+def project_rotation(rotation: Array) -> Array:
+    """Nearest SO(D) matrix in Frobenius norm (batched polar factor).
+
+    Long-running compose chains drift off the rotation manifold — in f32
+    the drift is MULTIPLICATIVE scale loss, because :func:`inverse` uses
+    the transpose (``det(Rᵀ) = det(R)``, so a scale error never cancels, it
+    compounds through every ``inverse``/``compose`` round trip).  Measured
+    on the f32 seq2loop online-SLAM stream: keyframe rotation determinants
+    decayed to 2.6e-4 (and captured odometry-measurement rotations to 7e-8)
+    after ~16 refine/re-anchor cycles, at which point the pose-graph
+    linearization returns NaN Jacobians.  Streaming surfaces re-project at
+    the keyframe boundary (:class:`icp_tpu.slam.OnlineSlam`); one-shot
+    registration pipelines never chain long enough to need it.
+
+    SVD polar with the same det-sign convention as the rigid fit (flip the
+    last singular direction, ``lib/icp/impl/vanilla.cpp:50-59``) so the
+    result stays a proper rotation even for badly-degraded inputs.
+    """
+    u, _, vt = jnp.linalg.svd(rotation)
+    det = jnp.linalg.det(jnp.matmul(u, vt, precision=HIGHEST))
+    u = u.at[..., :, -1].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
+    return jnp.matmul(u, vt, precision=HIGHEST)
+
+
+def renormalize(transform: RigidTransform) -> RigidTransform:
+    """Re-project a transform's rotation onto SO(D) (see
+    :func:`project_rotation`); the translation passes through."""
+    return RigidTransform(project_rotation(transform.rotation), transform.translation)
+
+
 def apply(transform: RigidTransform, points: Array) -> Array:
     """Apply a transform to points ``(..., N, D) -> (..., N, D)``.
 

@@ -247,6 +247,23 @@ def _masked_upper_median(rn: Array, keep: Array) -> Array:
     return jnp.where(count > 0, vals[jnp.maximum(count // 2, 0)], jnp.zeros_like(big))
 
 
+def _masked_quantile(rn: Array, keep: Array, q: float) -> Array:
+    """Masked quantile with ``np.quantile``'s linear interpolation (0 if the
+    mask is empty) — the traced twin of the host-side bootstrap-floor
+    statistic in :func:`robust_solve`."""
+    big = jnp.asarray(jnp.inf, rn.dtype)
+    vals = jnp.sort(jnp.where(keep, rn, big))
+    count = jnp.sum(keep)
+    pos = q * jnp.maximum(count - 1, 0).astype(rn.dtype)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(count - 1, 0)).astype(jnp.int32)
+    frac = pos - lo.astype(rn.dtype)
+    # hi is clamped inside the live prefix, so vals[hi] is finite whenever
+    # count > 0; the empty-mask branch is masked out below.
+    v = vals[lo] * (1.0 - frac) + vals[hi] * frac
+    return jnp.where(count > 0, v, jnp.zeros_like(big))
+
+
 def auto_robust_scale(
     graph: PoseGraph,
     iterations: int = 10,
@@ -610,7 +627,18 @@ def optimize(
                 jtj = jnp.matmul(jac.T, jac, precision=geometry.HIGHEST)
                 jtr = jnp.matmul(jac.T, wr0, precision=geometry.HIGHEST)
                 jtj = jtj + lm_damping * jnp.eye(n_var, dtype=poses.dtype)
-                delta = -jnp.linalg.solve(jtj, jtr)
+                # Jacobi (diagonal) scaling before the factorization:
+                # exact-arithmetic no-op, but in f32 the raw normal matrix
+                # mixes edge weights (~1e2), unit blocks, and bare damping
+                # (1e-6 on bucketed padding nodes) — condition numbers past
+                # f32's LU range.  Measured (seq2loop refine bucket,
+                # k=113/cap=128, f32): unscaled diverges to NaN on the
+                # first GN step from the odometry-chain init; scaled tracks
+                # the f64 trajectory.  f64 results change only at roundoff.
+                dj = jnp.sqrt(jnp.diagonal(jtj))
+                s = 1.0 / jnp.maximum(dj, jnp.finfo(poses.dtype).tiny ** 0.5)
+                jtj_s = jtj * s[:, None] * s[None, :]
+                delta = -s * jnp.linalg.solve(jtj_s, jtr * s)
             else:
                 _, vjp = jax.vjp(wres, zero)
 
@@ -786,6 +814,102 @@ def robust_solve(
         if abs(new_scale - scale) <= 1e-9 * scale:
             break
         scale = new_scale
+        opt, costs = solve(scale)
+    weights, _ = robust_edge_weights(opt, kernel, scale, robust_edges=robust_edges)
+    return opt, costs, scale, weights
+
+
+def robust_solve_fused(
+    graph: PoseGraph,
+    robust_edges: Array | None = None,
+    kernel: str = "welsch",
+    iterations: int = 30,
+    solver: str = "auto",
+    cg_iterations: int = 50,
+    damping: float = 1e-6,
+    robust_scale: float | str | Array = "auto",
+    scale_passes: int = 2,
+    shrink_bound: float = 8.0,
+    gnc_head: float = 0.25,
+) -> tuple[PoseGraph, Array, Array, Array]:
+    """:func:`robust_solve` as ONE traceable device program (jit-safe).
+
+    Same validated recipe — auto scale from an L2 pre-solve, pass-1 robust
+    solve, scale re-estimation at the robust solution under the same floors
+    (bootstrap quartile, noise median, ``scale / shrink_bound``), cold
+    re-solve — but every statistic is a traced masked reduction
+    (:func:`_masked_upper_median` / :func:`_masked_quantile`) instead of a
+    host-side NumPy sort, so the whole multi-pass solve compiles to a single
+    XLA executable.  That is what lets :class:`icp_tpu.slam.OnlineSlam` run
+    the two-pass recipe inside its bucketed jitted refinement without any
+    host round-trip or per-scale recompile (the scale is a traced scalar,
+    not a Python constant baked into the executable).
+
+    Two deliberate deltas vs the host driver, both semantics-preserving:
+
+    * no early break on a converged scale — the pass count is static
+      (``scale_passes`` unrolled); a re-solve at an unchanged scale from the
+      same cold init is deterministic, so the result is identical, and with
+      the default ``scale_passes=2`` the break never fired anyway;
+    * the bootstrap quartile uses ``np.quantile``'s linear interpolation
+      re-expressed as a masked traced reduction (exact same value on the
+      same inputs — pinned by tests/test_robustness.py fused-parity test).
+
+    Returns ``(optimized graph, costs, scale, weights)``; ``scale`` and
+    ``weights`` are traced arrays.  Like :func:`robust_solve`, each pass
+    restarts cold from ``graph.poses`` (see that docstring for why warm
+    starts lose).  No reference counterpart — the C++ has no pose graph at
+    all; recipe validated on the round-4 m600/m3500/sphere2500 protocol
+    (BASELINE.md round-4 table).
+    """
+    if isinstance(robust_scale, str):
+        if robust_scale != "auto":
+            raise ValueError(
+                f"robust_scale must be a float or 'auto', got {robust_scale!r}"
+            )
+        scale = auto_robust_scale(
+            graph,
+            iterations=iterations,
+            damping=damping,
+            solver=solver,
+            cg_iterations=cg_iterations,
+            robust_edges=robust_edges,
+        )
+    else:
+        scale = jnp.asarray(robust_scale, dtype=graph.poses.dtype)
+
+    live = graph.weights > 0
+    if robust_edges is not None:
+        rob = robust_edges & live
+        noise_mask = (~robust_edges) & live
+    else:
+        rob = live
+        noise_mask = live
+    rn_init = jnp.sqrt(_geometric_rn2(graph, graph.poses))
+    bootstrap = _masked_quantile(rn_init, rob, 0.25)
+
+    def solve(s):
+        return optimize(
+            graph,
+            iterations=iterations,
+            damping=damping,
+            solver=solver,
+            cg_iterations=cg_iterations,
+            robust=kernel,
+            robust_scale=s,
+            robust_edges=robust_edges,
+            gnc_head=gnc_head,
+        )
+
+    opt, costs = solve(scale)
+    for _ in range(max(0, scale_passes - 1)):
+        rn = jnp.sqrt(_geometric_rn2(opt, opt.poses))
+        clo = _masked_upper_median(rn, rob)
+        noise = _masked_upper_median(rn, noise_mask)
+        scale = jnp.maximum(
+            jnp.maximum(jnp.maximum(2.0 * clo, 0.5 * noise), bootstrap),
+            jnp.maximum(scale / shrink_bound, 1e-3),
+        )
         opt, costs = solve(scale)
     weights, _ = robust_edge_weights(opt, kernel, scale, robust_edges=robust_edges)
     return opt, costs, scale, weights
@@ -1090,13 +1214,17 @@ def graph_from_trajectory(
     loop_edges: Array | None = None,
     loop_measurements: RigidTransform | None = None,
     odometry_weight: float | Array = 1.0,
-    loop_weight: float = 1.0,
+    loop_weight: float | Array = 1.0,
     loop_information: Array | None = None,
 ) -> PoseGraph:
     """Assemble a graph: consecutive odometry edges + optional loop closures.
 
     ``odometry_measurements`` are frame-t-relative poses of frame t+1
     (length T-1); loop edges/measurements likewise frame-i-relative of j.
+    ``odometry_weight`` / ``loop_weight`` are scalars or per-edge arrays —
+    per-edge lets a caller carry zero-weight (exactly inert) padding edges,
+    which is how :class:`icp_tpu.slam.OnlineSlam` buckets its refinement
+    graph inside one jitted assembly.
 
     ``loop_information`` (``(K, dof, dof)``, optional): per-closure
     information matrices — e.g. the registration-geometry estimate
@@ -1128,7 +1256,12 @@ def graph_from_trajectory(
             jnp.concatenate([meas.translation, loop_measurements.translation], axis=0),
         )
         weights = jnp.concatenate(
-            [weights, jnp.full((loop_edges.shape[0],), loop_weight, dtype=dtype)]
+            [
+                weights,
+                jnp.broadcast_to(
+                    jnp.asarray(loop_weight, dtype=dtype), (loop_edges.shape[0],)
+                ),
+            ]
         )
         if loop_information is not None:
             from .ops.covariance import sqrt_information

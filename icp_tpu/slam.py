@@ -131,9 +131,15 @@ class OnlineSlam:
     searches for revisits among the keyframe poses, registers candidate
     pairs (one batched converge), and re-optimizes the keyframe graph with
     the robust kernel — then **re-anchors the live pose**, so drift
-    corrections take effect immediately instead of at shutdown.  One wrong
-    closure cannot corrupt the map: the GNC kernel down-weights it by graph
-    inconsistency (see :func:`icp_tpu.pose_graph.optimize`).
+    corrections take effect immediately instead of at shutdown.  Wrong
+    closures cannot corrupt the map: below ``mapping_threshold`` accepted
+    closures the single-pass GNC kernel down-weights them by graph
+    inconsistency (see :func:`icp_tpu.pose_graph.optimize`); at mapping
+    scale the solve switches to the two-pass welsch recipe of
+    :func:`icp_tpu.pose_graph.robust_solve` (fused on-device,
+    :func:`~icp_tpu.pose_graph.robust_solve_fused`), which survives
+    10-30% random AND clustered wrong closures (offline protocol:
+    BASELINE.md round-4 table; streaming: tests/test_seq2loop_outliers.py).
 
     Weights approximate information (1/sigma^2): keyframe odometry edges
     come from sequential scan matching (mm-cm accurate — ``odometry_weight``
@@ -173,6 +179,9 @@ class OnlineSlam:
         odometry_weight: float = 1.0,
         robust: str = "gnc_gm",
         robust_scale: float | str = "auto",
+        scale_passes: int | str = "auto",
+        mapping_kernel: str = "welsch",
+        mapping_threshold: int = 12,
         gn_iterations: int | None = None,
         gn_solver: str = "dense",
         closure_information: bool = False,
@@ -223,6 +232,29 @@ class OnlineSlam:
         self._odometry_weight = odometry_weight
         self._robust = robust
         self._robust_scale = robust_scale
+        # Two-pass robust regime selection (the round-4 protocol's central
+        # finding, wired into the flagship path in round 5): at mapping
+        # scale — many closures, where a corrupted subset inflates any
+        # single-pass auto scale — the validated recipe is the two-pass
+        # welsch of :func:`icp_tpu.pose_graph.robust_solve` (R>=0.94 /
+        # K=1.00 on every m600/m3500/sphere2500 protocol cell); on tiny
+        # graphs (a handful of closures retaining real drift) pass-1 IS the
+        # round-3-validated rule and re-estimation can overshoot
+        # (robust_solve's scope note).  ``scale_passes='auto'`` switches to
+        # the two-pass ``mapping_kernel`` solve once the accepted-closure
+        # count reaches ``mapping_threshold``; an int forces a fixed pass
+        # count (1 = always the single-pass ``robust`` kernel).  Threshold
+        # default 12: the upper-median scale statistic needs the inlier
+        # bulk to dominate — at >=12 closures a <=30% wrong subset leaves
+        # >=8 inliers on the median's side (streaming evidence:
+        # tests/test_seq2loop_outliers.py).
+        if isinstance(scale_passes, str) and scale_passes != "auto":
+            raise ValueError(
+                f"scale_passes must be an int or 'auto', got {scale_passes!r}"
+            )
+        self._scale_passes = scale_passes
+        self._mapping_kernel = mapping_kernel
+        self._mapping_threshold = mapping_threshold
         self._gn_iterations = gn_iterations or (30 if robust != "none" else 10)
         self._gn_solver = gn_solver
         self._closure_information = closure_information
@@ -239,7 +271,18 @@ class OnlineSlam:
         # into the stack lazily — one concatenate per refinement.
         self._kf_poses: RigidTransform | None = None
         self._kf_pending: list[RigidTransform] = []
-        self._odo_meas: list[RigidTransform] = []  # immutable, promotion-time
+        # Odometry / closure measurements and keyframe clouds follow the
+        # same stack + pending-list discipline as ``_kf_poses``: the lists
+        # take O(1) Python appends on the hot path; each refinement folds
+        # them into the device stacks with ONE concatenate per array
+        # (previously every refinement re-stacked O(k) per-edge device
+        # arrays eagerly — measured on the tunnel, those ~5 ms dispatches
+        # were the growing term of the accepting-refine stall).
+        self._odo_meas: list[RigidTransform] = []  # pending, promotion-time
+        self._odo_stack: RigidTransform | None = None  # folded (k-1, ...)
+        self._loop_stack: RigidTransform | None = None  # folded accepted closures
+        self._kf_cloud_stack: PointCloud | None = None  # folded (k, N, D)
+        self._kf_cloud_folded = 0  # clouds already in the stack
         # Per-odometry-edge weight multipliers (x odometry_weight).  1.0
         # for every registration-derived edge; merge_sessions inserts one
         # low-trust bridge link (its measurement derives from drifted
@@ -287,40 +330,200 @@ class OnlineSlam:
                 self._retry_factor,
             )
         )
-        # Bucketed refinement solve (see _refine): one jitted executable per
-        # (node-bucket, edge-bucket) shape pair instead of one XLA compile
-        # per refinement — the keyframe count grows a few nodes per refine,
-        # and over the TPU tunnel the per-shape compile dwarfs the solve.
-        # Kernel/solver/iteration knobs are closed over (static); the
-        # robust-edge mask is a traced array, so the closure boundary moving
-        # inside the bucket reuses the executable.
-        self._graph_solve = jax.jit(
-            lambda graph, mask: pose_graph.optimize(
-                graph, iterations=self._gn_iterations, solver=self._gn_solver,
-                robust=self._robust, robust_scale=self._robust_scale,
-                robust_edges=mask,
+        # Bucketed refinement solves (see _refine): one jitted executable per
+        # (node-bucket, closure-bucket) shape pair instead of one XLA
+        # compile per refinement — the keyframe count grows a few nodes per
+        # refine, and over the TPU tunnel the per-shape compile dwarfs the
+        # solve.  The GRAPH ASSEMBLY (graph_from_trajectory + robust-edge
+        # mask) happens INSIDE the jitted program: the caller hands over
+        # bucket-padded pose/measurement stacks and per-edge weight vectors
+        # (zero-weight = exactly inert padding), so a refinement costs ~10
+        # eager pad/fold dispatches instead of ~30 growing assembly ops
+        # (BASELINE.md round-4 continuation lever, built in round 5).
+        # Kernel/solver/iteration knobs are closed over (static); weights
+        # and k move as traced arrays, so the closure boundary and node
+        # count shifting inside a bucket reuse the executable.  Both
+        # solvers return ``(poses, edge_weights, scale)``.
+        def _assemble(poses_r, poses_t, odo_r, odo_t, odo_w,
+                      loop_ij, loop_r, loop_t, loop_w, loop_info):
+            graph = pose_graph.graph_from_trajectory(
+                RigidTransform(poses_r, poses_t),
+                RigidTransform(odo_r, odo_t),
+                loop_edges=loop_ij,
+                loop_measurements=RigidTransform(loop_r, loop_t),
+                odometry_weight=odo_w,
+                loop_weight=loop_w,
+                loop_information=loop_info,
             )
-        )
+            mask = jnp.concatenate(
+                [jnp.zeros((odo_r.shape[0],), bool), loop_w > 0]
+            )
+            return graph, mask
+
+        def _chain_init(poses_r, poses_t, odo_r, odo_t):
+            # Absolute poses from the immutable odometry chain (log-depth):
+            # X_0 = current first-keyframe pose (the gauge), X_{i+1} =
+            # X_i ∘ Z_i.  Identity-padded measurements extend the last pose
+            # over the node-bucket tail (edge-less there, so inert).
+            def combine(a, b):
+                ra, ta = a
+                rb, tb = b
+                rot = jnp.matmul(ra, rb, precision=geometry.HIGHEST)
+                tr = jnp.einsum(
+                    "...ij,...j->...i", ra, tb, precision=geometry.HIGHEST
+                ) + ta
+                return rot, tr
+
+            rots = jnp.concatenate([poses_r[:1], odo_r], axis=0)
+            trans = jnp.concatenate([poses_t[:1], odo_t], axis=0)
+            pr, pt = jax.lax.associative_scan(combine, (rots, trans))
+            # Re-project the scan products onto SO(D): a length-k f32
+            # product otherwise contracts (det ~ prod of per-factor dets),
+            # and feeding contracted poses back through the promote/refine
+            # cycle compounds EXPONENTIALLY (measured on the f32 seq2loop
+            # stream: keyframe dets 2.6e-4, NaN Jacobians by refine ~5 —
+            # geometry.project_rotation's docstring carries the numbers).
+            return RigidTransform(geometry.project_rotation(pr), pt)
+
+        def _solve_single(*args):
+            graph, mask = _assemble(*args)
+            if self._robust == "none":
+                g, _ = pose_graph.optimize(
+                    graph, iterations=self._gn_iterations, solver=self._gn_solver,
+                )
+                one = jnp.ones((graph.num_edges,), graph.weights.dtype)
+                return g.poses, one, jnp.asarray(1.0, graph.weights.dtype)
+            # Resolving 'auto' here (instead of inside optimize) is the
+            # same auto_robust_scale call with the same arguments — bitwise
+            # identical — but hands the scale back for the weights
+            # diagnostic without re-solving.
+            if isinstance(self._robust_scale, str):
+                scale = pose_graph.auto_robust_scale(
+                    graph, iterations=self._gn_iterations,
+                    solver=self._gn_solver, robust_edges=mask,
+                )
+            else:
+                scale = jnp.asarray(self._robust_scale, graph.poses.dtype)
+            g, _ = pose_graph.optimize(
+                graph, iterations=self._gn_iterations, solver=self._gn_solver,
+                robust=self._robust, robust_scale=scale, robust_edges=mask,
+            )
+            w, _ = pose_graph.robust_edge_weights(
+                g, self._robust, scale, robust_edges=mask
+            )
+            return g.poses, w, scale
+
+        def _solve_two_pass(*args):
+            graph, mask = _assemble(*args)
+            # Cold odometry-chain init — robust_solve's own requirement
+            # (a warm start can be stuck in a basin an outlier cluster
+            # bent), and what keeps the CLEAN streaming case healthy: at
+            # the already-refined poses every scale statistic sits at the
+            # registration noise floor, the bootstrap floor (quartile of
+            # init residuals) vanishes, and the re-estimated scale
+            # feedback-rejects perfect closures (measured on the clean
+            # seq2loop stream: 60% of true closures cut by the final
+            # refinement; with the chain init, none).
+            init = _chain_init(args[0], args[1], args[2], args[3])
+            graph = dataclasses.replace(graph, poses=init)
+            passes = 2 if scale_passes == "auto" else int(scale_passes)
+            g, _, scale, w = pose_graph.robust_solve_fused(
+                graph, mask, kernel=self._mapping_kernel,
+                iterations=self._gn_iterations, solver=self._gn_solver,
+                robust_scale=self._robust_scale, scale_passes=passes,
+            )
+            return g.poses, w, scale
+
+        self._graph_solve = jax.jit(_solve_single)
+        self._graph_solve_two_pass = jax.jit(_solve_two_pass)
+        self._closure_weights_dev = None  # (num closures,) device array
+        self._robust_scale_used = None
 
     # -- public API ---------------------------------------------------------
+
+    @staticmethod
+    def _fold(stack: RigidTransform | None, pending: list) -> RigidTransform | None:
+        """Fold a pending list of transforms into a stacked device array —
+        one stack + one concatenate, regardless of how the stack has grown.
+        (SO(D) re-projection happens once at promotion — ``_promote`` —
+        so the stack, ``_cur_kf_pose``, and a checkpoint round-trip all
+        hold the SAME array values bitwise; projecting here instead broke
+        resume bit-identity at the 1e-14 level because projection is only
+        idempotent up to roundoff.)"""
+        if pending:
+            pend_r = jnp.stack([p.rotation for p in pending])
+            pend_t = jnp.stack([p.translation for p in pending])
+            if stack is None:
+                return RigidTransform(pend_r, pend_t)
+            return RigidTransform(
+                jnp.concatenate([stack.rotation, pend_r]),
+                jnp.concatenate([stack.translation, pend_t]),
+            )
+        return stack
 
     @property
     def keyframe_poses(self) -> RigidTransform:
         """Current (refined) keyframe trajectory, stacked ``(K, ...)``."""
-        if self._kf_pending:
-            pend_r = jnp.stack([p.rotation for p in self._kf_pending])
-            pend_t = jnp.stack([p.translation for p in self._kf_pending])
-            if self._kf_poses is None:
-                self._kf_poses = RigidTransform(pend_r, pend_t)
-            else:
-                self._kf_poses = RigidTransform(
-                    jnp.concatenate([self._kf_poses.rotation, pend_r]),
-                    jnp.concatenate([self._kf_poses.translation, pend_t]),
-                )
-            self._kf_pending = []
+        self._kf_poses = self._fold(self._kf_poses, self._kf_pending)
+        self._kf_pending = []
         if self._kf_poses is None:
             raise ValueError("no keyframes yet")
         return self._kf_poses
+
+    def _folded_odo(self) -> RigidTransform | None:
+        self._odo_stack = self._fold(self._odo_stack, self._odo_meas)
+        self._odo_meas = []
+        return self._odo_stack
+
+    def _folded_loop(self) -> RigidTransform | None:
+        """Accepted-closure measurements as one ``(L, ...)`` stack.  Pending
+        entries may be batched (the per-refine accepted gather) or single
+        transforms (tests inject closures by appending to ``_loop_meas``)."""
+        if self._loop_meas:
+            parts_r, parts_t = [], []
+            if self._loop_stack is not None:
+                parts_r.append(self._loop_stack.rotation)
+                parts_t.append(self._loop_stack.translation)
+            for m in self._loop_meas:
+                batched = m.rotation.ndim == 3
+                parts_r.append(m.rotation if batched else m.rotation[None])
+                parts_t.append(m.translation if batched else m.translation[None])
+            self._loop_stack = RigidTransform(
+                jnp.concatenate(parts_r), jnp.concatenate(parts_t)
+            )
+            self._loop_meas = []
+        return self._loop_stack
+
+    def _folded_clouds(self) -> PointCloud:
+        """Keyframe clouds as one stacked ``(k, N, D)`` device array,
+        folded incrementally (same discipline as the pose stack)."""
+        k = len(self._kf_clouds)
+        if self._kf_cloud_folded < k:
+            fresh = self._kf_clouds[self._kf_cloud_folded :]
+            pts = jnp.stack([c.points for c in fresh])
+            cnt = jnp.stack([c.count for c in fresh])
+            if self._kf_cloud_stack is None:
+                self._kf_cloud_stack = PointCloud(pts, cnt)
+            else:
+                self._kf_cloud_stack = PointCloud(
+                    jnp.concatenate([self._kf_cloud_stack.points, pts]),
+                    jnp.concatenate([self._kf_cloud_stack.count, cnt]),
+                )
+            self._kf_cloud_folded = k
+        return self._kf_cloud_stack
+
+    @property
+    def closure_weights(self) -> np.ndarray | None:
+        """Final robust IRLS weight per accepted closure (same order as the
+        internal closure list) from the LAST refinement, or None before the
+        first solve.  The :func:`icp_tpu.pose_graph.robust_edge_weights`
+        diagnostic: a rejected (wrong-basin) closure sits near 0, inliers
+        near 1 — what ``run_slam`` reports as ``SlamResult.edge_weights``,
+        now available on the streaming surface too.  Accessing this syncs
+        the device value; the refine path itself never does."""
+        if self._closure_weights_dev is None:
+            return None
+        return np.asarray(self._closure_weights_dev)
 
     def add_scan(self, scan: PointCloud) -> OnlineUpdate | None:
         """Feed one scan.  Serial mode returns this scan's update; pipelined
@@ -503,21 +706,17 @@ class OnlineSlam:
             "desc_queried": np.asarray(self._desc_queried),
             "loop_edges": np.asarray(self._loop_edges, dtype=np.int64).reshape(-1, 2),
         }
-        if self._odo_meas:
-            out["odo_rot"] = np.stack([np.asarray(m.rotation) for m in self._odo_meas])
-            out["odo_trans"] = np.stack(
-                [np.asarray(m.translation) for m in self._odo_meas]
-            )
+        odo = self._folded_odo()
+        if odo is not None:
+            out["odo_rot"] = np.asarray(odo.rotation)
+            out["odo_trans"] = np.asarray(odo.translation)
             out["odo_weight_scale"] = np.asarray(
                 self._odo_weight_scale, dtype=np.float64
             )
-        if self._loop_meas:
-            out["loop_rot"] = np.stack(
-                [np.asarray(m.rotation) for m in self._loop_meas]
-            )
-            out["loop_trans"] = np.stack(
-                [np.asarray(m.translation) for m in self._loop_meas]
-            )
+        loop = self._folded_loop()
+        if loop is not None and loop.rotation.shape[0] > 0:
+            out["loop_rot"] = np.asarray(loop.rotation)
+            out["loop_trans"] = np.asarray(loop.translation)
         return out
 
     def load_state(self, state: dict) -> None:
@@ -536,27 +735,32 @@ class OnlineSlam:
             jnp.asarray(state["kf_rot"]), jnp.asarray(state["kf_trans"])
         )
         self._kf_pending = []
-        self._odo_meas = [
+        self._odo_meas = []
+        self._odo_stack = (
             RigidTransform(
-                jnp.asarray(state["odo_rot"][i]), jnp.asarray(state["odo_trans"][i])
+                jnp.asarray(state["odo_rot"]), jnp.asarray(state["odo_trans"])
             )
-            for i in range(k - 1)
-        ] if "odo_rot" in state else []
+            if "odo_rot" in state
+            else None
+        )
+        n_odo = 0 if self._odo_stack is None else int(state["odo_rot"].shape[0])
         self._odo_weight_scale = [
             float(x)
-            for x in np.asarray(
-                state.get("odo_weight_scale", np.ones(len(self._odo_meas)))
-            )
+            for x in np.asarray(state.get("odo_weight_scale", np.ones(n_odo)))
         ]
         self._loop_edges = [
             (int(i), int(j)) for i, j in np.asarray(state["loop_edges"])
         ]
-        self._loop_meas = [
+        self._loop_meas = []
+        self._loop_stack = (
             RigidTransform(
-                jnp.asarray(state["loop_rot"][i]), jnp.asarray(state["loop_trans"][i])
+                jnp.asarray(state["loop_rot"]), jnp.asarray(state["loop_trans"])
             )
-            for i in range(len(self._loop_edges))
-        ] if "loop_rot" in state else []
+            if "loop_rot" in state
+            else None
+        )
+        self._kf_cloud_stack = None
+        self._kf_cloud_folded = 0
         self._tried_pairs = {
             (int(i), int(j)) for i, j in np.asarray(state["tried_pairs"])
         }
@@ -656,6 +860,14 @@ class OnlineSlam:
     # -- internals ----------------------------------------------------------
 
     def _promote(self, scan: PointCloud, pose: RigidTransform) -> None:
+        # Keyframe poses are long-lived state: re-project onto SO(D) before
+        # anything stores or derives from them.  The live pose reaching
+        # here is a compose-chain product, and in f32 the chain's scale
+        # drift FEEDS BACK (transpose-inverse composes square it through
+        # the refine cycle) — measured: keyframe dets 2.6e-4 and NaN graph
+        # Jacobians on the f32 seq2loop stream without this
+        # (geometry.project_rotation's docstring carries the numbers).
+        pose = geometry.renormalize(pose)
         if self._kf_clouds:
             # The keyframe-to-keyframe odometry MEASUREMENT, captured at
             # promotion time (== the registration-derived relative
@@ -776,10 +988,7 @@ class OnlineSlam:
             # last pair; extras dropped) so refinements reuse executables.
             pad_to = bucket_capacity(len(fresh), min_capacity=4)
             padded = fresh + [fresh[-1]] * (pad_to - len(fresh))
-            stack = PointCloud(
-                jnp.stack([c.points for c in self._kf_clouds]),
-                jnp.stack([c.count for c in self._kf_clouds]),
-            )
+            stack = self._folded_clouds()
             guesses = None
             if self._loop_detector == "descriptor":
                 from .ops.descriptor import yaw_seeds
@@ -797,70 +1006,114 @@ class OnlineSlam:
             )
             edges_np = np.asarray(edges)
             seen = set(self._loop_edges)
+            accepted_rows = []
             for idx in range(edges_np.shape[0]):
                 pair = (int(edges_np[idx, 0]), int(edges_np[idx, 1]))
                 if pair in seen:
                     continue  # padding duplicates / already accepted
                 seen.add(pair)
                 self._loop_edges.append(pair)
+                accepted_rows.append(idx)
+            if accepted_rows:
+                # One device gather + concat for the whole batch (not one
+                # pair of slices per closure — stall discipline).
+                rows = jnp.asarray(accepted_rows, dtype=jnp.int32)
                 self._loop_meas.append(
-                    RigidTransform(meas.rotation[idx], meas.translation[idx])
+                    RigidTransform(meas.rotation[rows], meas.translation[rows])
                 )
         if not self._loop_edges:
             return False
+
+        # --- bucket-padded inputs for the jitted assemble+solve ----------
+        # Graph assembly itself (edge layout, weight concat, robust mask,
+        # optional chain init) lives INSIDE the jitted solver; the eager
+        # work here is a fixed handful of pad/fold dispatches, independent
+        # of the keyframe count.  Layout: [odometry (node_cap-1, zero-weight
+        # beyond k-1) | closures (loop_cap, zero-weight beyond n_loop)] —
+        # zero-weight edges are exactly inert (pad_edges' proven property).
+        n_loop = len(self._loop_edges)
+        loop_cap = bucket_capacity(n_loop, min_capacity=8)
+        dtype = poses.dtype
+        dim = poses.dim
+        eye = jnp.eye(dim, dtype=dtype)
+
+        pad_n = node_cap - k
+        poses_r = jnp.concatenate(
+            [poses.rotation, jnp.broadcast_to(eye, (pad_n, dim, dim))]
+        )
+        poses_t = jnp.concatenate(
+            [poses.translation, jnp.zeros((pad_n, dim), dtype=dtype)]
+        )
+        odo = self._folded_odo()
+        pad_o = (node_cap - 1) - (k - 1)
+        odo_r = jnp.concatenate(
+            [odo.rotation, jnp.broadcast_to(eye, (pad_o, dim, dim))]
+        )
+        odo_t = jnp.concatenate(
+            [odo.translation, jnp.zeros((pad_o, dim), dtype=dtype)]
+        )
+        odo_w_np = np.zeros((node_cap - 1,), dtype=np.float64)
+        odo_w_np[: k - 1] = self._odometry_weight * np.asarray(self._odo_weight_scale)
+        odo_w = jnp.asarray(odo_w_np, dtype=dtype)
+
+        loop = self._folded_loop()
+        pad_l = loop_cap - n_loop
+        loop_r = jnp.concatenate(
+            [loop.rotation, jnp.broadcast_to(eye, (pad_l, dim, dim))]
+        )
+        loop_t = jnp.concatenate(
+            [loop.translation, jnp.zeros((pad_l, dim), dtype=dtype)]
+        )
+        ij_np = np.zeros((loop_cap, 2), dtype=np.int32)
+        ij_np[:n_loop] = np.asarray(self._loop_edges, dtype=np.int32)
+        ij_np[n_loop:, 1] = 1  # inert (0, 1) padding edges, always in range
+        loop_ij = jnp.asarray(ij_np)
+        loop_w_np = np.zeros((loop_cap,), dtype=np.float64)
+        loop_w_np[:n_loop] = self._loop_weight
+        loop_w = jnp.asarray(loop_w_np, dtype=dtype)
 
         loop_info = None
         if self._closure_information:
             from .ops.covariance import cloud_information
 
-            # Information from each closure's TARGET keyframe geometry.
-            # Bucket the target stack (duplicate-last padding, sliced off
-            # after) so the information contraction also reuses executables
-            # across refinements instead of recompiling at every closure
-            # count.
-            targets = [self._kf_clouds[a] for a, _ in self._loop_edges]
-            n_info = len(targets)
-            cap_info = bucket_capacity(n_info, min_capacity=4)
-            targets = targets + [targets[-1]] * (cap_info - n_info)
-            tgt = PointCloud(
-                jnp.stack([c.points for c in targets]),
-                jnp.stack([c.count for c in targets]),
-            )
-            loop_info = cloud_information(tgt, k=self._information_neighbors)[:n_info]
-        graph = pose_graph.graph_from_trajectory(
-            poses,
-            RigidTransform(
-                jnp.stack([r.rotation for r in self._odo_meas]),
-                jnp.stack([r.translation for r in self._odo_meas]),
-            ),
-            loop_edges=jnp.asarray(self._loop_edges, dtype=jnp.int32),
-            loop_measurements=RigidTransform(
-                jnp.stack([m.rotation for m in self._loop_meas]),
-                jnp.stack([m.translation for m in self._loop_meas]),
-            ),
-            odometry_weight=self._odometry_weight
-            * jnp.asarray(self._odo_weight_scale, dtype=poses.dtype),
-            loop_weight=self._loop_weight,
-            loop_information=loop_info,
-        )
-        n_edges = graph.num_edges  # [odometry (k-1) | closures] before padding
-        graph = pose_graph.pad_edges(
-            pose_graph.pad_nodes(graph, node_cap),
-            bucket_capacity(n_edges, min_capacity=16),
-        )
-        idx = jnp.arange(graph.num_edges)
-        mask = (idx >= k - 1) & (idx < n_edges)  # closures only, never padding
-        graph, _ = self._graph_solve(graph, mask)
+            # Information from each closure's TARGET keyframe geometry,
+            # bucketed to loop_cap (duplicate-last target padding; padded
+            # closures are zero-weight so their info block is inert).
+            tgt_np = np.zeros((loop_cap,), dtype=np.int64)
+            tgt_np[:n_loop] = [a for a, _ in self._loop_edges]
+            tgt_np[n_loop:] = tgt_np[max(n_loop - 1, 0)]
+            clouds = self._folded_clouds()
+            tgt_idx = jnp.asarray(tgt_np)
+            tgt = PointCloud(clouds.points[tgt_idx], clouds.count[tgt_idx])
+            loop_info = cloud_information(tgt, k=self._information_neighbors)
+
+        args = (poses_r, poses_t, odo_r, odo_t, odo_w,
+                loop_ij, loop_r, loop_t, loop_w, loop_info)
+        # Regime selection (see __init__): two-pass fused solve at mapping
+        # scale (cold odometry-chain init), single-pass below.  Both are
+        # bucketed jitted executables; the two-pass one folds the scale
+        # re-estimation into the device program (no host sync, no
+        # per-scale recompile).
+        if self._robust != "none" and self._scale_passes != 1 and (
+            self._scale_passes != "auto"
+            or n_loop >= self._mapping_threshold
+        ):
+            new_poses, w, scale = self._graph_solve_two_pass(*args)
+        else:
+            new_poses, w, scale = self._graph_solve(*args)
+        # Closure weights sit after the padded odometry block.
+        self._closure_weights_dev = w[node_cap - 1 : node_cap - 1 + n_loop]
+        self._robust_scale_used = scale
         # Re-anchor: replace keyframe poses; shift the live pose by the
         # correction applied to the current keyframe (pose = kf ∘ rel keeps
         # the scan-relative offset).
         old_kf = self._cur_kf_pose
         # Two array ops, not 2k per-pose slices (the padded tail is dropped).
         self._kf_poses = RigidTransform(
-            graph.poses.rotation[:k], graph.poses.translation[:k]
+            new_poses.rotation[:k], new_poses.translation[:k]
         )
         self._cur_kf_pose = RigidTransform(
-            graph.poses.rotation[k - 1], graph.poses.translation[k - 1]
+            new_poses.rotation[k - 1], new_poses.translation[k - 1]
         )
         rel_live = geometry.compose(geometry.inverse(old_kf), self._pose)
         self._pose = geometry.compose(self._cur_kf_pose, rel_live)
@@ -1072,6 +1325,8 @@ def merge_sessions(
         loop_coarse=a._loop_coarse,
         loop_weight=a._loop_weight, odometry_weight=a._odometry_weight,
         robust=a._robust, robust_scale=a._robust_scale,
+        scale_passes=a._scale_passes, mapping_kernel=a._mapping_kernel,
+        mapping_threshold=a._mapping_threshold,
         gn_iterations=a._gn_iterations, gn_solver=a._gn_solver,
         closure_information=a._closure_information,
         information_neighbors=a._information_neighbors,
@@ -1135,6 +1390,9 @@ def run_slam(
     gn_solver: str = "dense",
     robust: str = "none",
     robust_scale: float | str = "auto",
+    scale_passes: int | str = "auto",
+    mapping_kernel: str = "welsch",
+    mapping_threshold: int = 12,
     closure_information: bool = False,
     information_neighbors: int = 10,
 ) -> SlamResult:
@@ -1159,6 +1417,17 @@ def run_slam(
     ``SlamResult.edge_weights``.  ``gn_iterations`` defaults to 10 for the
     plain solve and 30 for robust kernels (the GNC anneal + post-rejection
     relaxation need the budget; see optimize's docstring).
+
+    ``scale_passes='auto'`` (default): once the accepted-closure count
+    reaches ``mapping_threshold``, the robust solve upgrades to the
+    two-pass ``mapping_kernel`` recipe of
+    :func:`icp_tpu.pose_graph.robust_solve` — the configuration validated
+    against 10-30% random/clustered wrong closures (any single-pass auto
+    scale inflates at the corrupted L2 anchor; BASELINE.md round-4 table).
+    Below the threshold the single-pass ``robust`` kernel applies
+    unchanged (robust_solve's scope note: on tiny graphs the re-estimation
+    can overshoot).  ``scale_passes=1`` forces single-pass everywhere; an
+    int >= 2 forces that many passes with ``mapping_kernel``.
 
     ``closure_information=True`` attaches an anisotropic information matrix
     to every accepted closure, estimated from the TARGET scan's surface
@@ -1251,20 +1520,40 @@ def run_slam(
     if robust != "none":
         n_odo = graph.num_edges - loop_edges.shape[0]
         robust_mask = jnp.arange(graph.num_edges) >= n_odo
-        if isinstance(robust_scale, str):  # 'auto': resolve once, reuse below
+    if isinstance(scale_passes, str) and scale_passes != "auto":
+        raise ValueError(
+            f"scale_passes must be an int or 'auto', got {scale_passes!r}"
+        )
+    two_pass = robust != "none" and scale_passes != 1 and (
+        scale_passes != "auto" or int(loop_edges.shape[0]) >= mapping_threshold
+    )
+    weights = None
+    if two_pass:
+        # Mapping-scale regime: the validated two-pass recipe (see the
+        # docstring).  Offline path — the host-side driver is fine here
+        # (run_slam is one-shot; the stall-aware fused twin backs the
+        # streaming surface).
+        graph, costs, robust_scale, weights = pose_graph.robust_solve(
+            graph, kernel=mapping_kernel, robust_edges=robust_mask,
+            iterations=gn_iterations, solver=gn_solver,
+            robust_scale=robust_scale,
+            scale_passes=2 if scale_passes == "auto" else int(scale_passes),
+        )
+    else:
+        if robust != "none" and isinstance(robust_scale, str):
+            # 'auto': resolve once, reuse for the weights diagnostic below.
             robust_scale = pose_graph.auto_robust_scale(
                 graph, iterations=gn_iterations, solver=gn_solver,
                 robust_edges=robust_mask,
             )
-    graph, costs = pose_graph.optimize(
-        graph, iterations=gn_iterations, solver=gn_solver,
-        robust=robust, robust_scale=robust_scale, robust_edges=robust_mask,
-    )
-    weights = None
-    if robust != "none":
-        weights, _ = pose_graph.robust_edge_weights(
-            graph, robust, robust_scale, robust_edges=robust_mask
+        graph, costs = pose_graph.optimize(
+            graph, iterations=gn_iterations, solver=gn_solver,
+            robust=robust, robust_scale=robust_scale, robust_edges=robust_mask,
         )
+        if robust != "none":
+            weights, _ = pose_graph.robust_edge_weights(
+                graph, robust, robust_scale, robust_edges=robust_mask
+            )
     return SlamResult(
         poses=graph.poses,
         trajectory=traj,

