@@ -1341,6 +1341,64 @@ def _run_online_slam_seq(metrics, jnp, icp, seq, suffix):
     )
 
 
+def run_aot_cold_start(metrics, jnp, icp):
+    """Cold-start wall of the ONLINE SLAM surface, cold vs warm AOT cache
+    (VERDICT round-4 item 5): two fresh subprocesses stream 6 seq1 sweeps
+    through ``cli odometry --online --aot-cache`` against the same cache
+    directory — the first populates it (cold: full XLA compiles), the
+    second restores serialized executables from disk.  The value is the
+    WARM wall; cold and the ratio ride along.  This is the
+    process-restart story a robot deployment actually cares about."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(_glob.glob(os.path.join(repo, "ex_data", "seq1", "sweep_*.conf")))[:6]
+    if not paths:
+        _progress("aot_cold_start: seq1 missing; skipped")
+        return
+    cache = tempfile.mkdtemp(prefix="bench_aot_")
+    cmd = [
+        sys.executable, "-m", "icp_tpu.cli", "odometry",
+        "--scans", *paths, "-m", "trimmed", "--online",
+        "--aot-cache", cache,
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    walls = []
+    try:
+        for tag in ("cold", "warm"):
+            _progress(f"aot_cold_start: {tag} subprocess ...")
+            t0 = time.perf_counter()
+            out = subprocess.run(
+                cmd, cwd=repo, env=env, capture_output=True, text=True,
+                timeout=1800,
+            )
+            walls.append(time.perf_counter() - t0)
+            if out.returncode != 0:
+                _progress(
+                    f"aot_cold_start: {tag} run failed rc={out.returncode}: "
+                    f"{out.stderr[-300:]}"
+                )
+                return
+    finally:
+        shutil.rmtree(cache, ignore_errors=True)
+    cold, warm = walls
+    metrics.append(
+        {
+            "metric": "online_slam_cold_start_warm_s",
+            "value": round(warm, 1),
+            "unit": (
+                "s process wall, 6-scan online stream, warm AOT executable "
+                f"cache (cold first run: {cold:.1f} s)"
+            ),
+            "vs_baseline": round(cold / warm, 2),
+        }
+    )
+    _progress(f"aot_cold_start: cold {cold:.1f} s -> warm {warm:.1f} s")
+
+
 def run_seq3d(metrics, jnp, icp):
     """3D end-to-end row (VERDICT round-2 item 2): GICP odometry over the
     bundled 72-sweep seq3d loop + SE(3) robust loop closure, reporting
@@ -1556,6 +1614,7 @@ def main():
             run_serving,
             run_streaming,
             run_online_slam,
+            run_aot_cold_start,
             run_mapping,
             run_seq3d,
             run_pose_agreement,

@@ -459,6 +459,7 @@ def cmd_odometry(args):
             mapping_threshold=args.mapping_threshold,
             closure_information=args.closure_information,
             pipelined=args.pipelined,
+            aot_cache=getattr(args, "aot_cache", None),
         )
         live_poses = []
 

@@ -247,6 +247,7 @@ def find_loop_candidates_descriptor_incremental(
     max_distance: float,
     min_separation: int = 10,
     max_candidates: int | None = None,
+    exclude: Array | None = None,
 ) -> tuple[Array, Array]:
     """Incremental form of :func:`find_loop_candidates_descriptor`: only
     pairs whose NEWER member is a keyframe ``>= new_start`` can be fresh
@@ -263,6 +264,13 @@ def find_loop_candidates_descriptor_incremental(
     are padded to power-of-two buckets so a long-running session reuses a
     handful of compiled executables instead of recompiling at every
     refinement's keyframe count.
+
+    ``exclude`` (bool ``(T, T)``, optional): pairs to drop BEFORE the
+    top-k truncation, so the candidate budget is spent entirely on fresh
+    pairs — the radius path's semantics (ADVICE round-4: without it, a
+    caller that re-lowers the cursor to re-saturate — e.g.
+    :func:`icp_tpu.slam.merge_sessions` in descriptor mode — would spend
+    the whole budget re-ranking already-tried pairs).
     """
     import numpy as np
 
@@ -291,8 +299,13 @@ def find_loop_candidates_descriptor_incremental(
     )
     k = max_candidates if max_candidates is not None else cap_db * cap_new
     k = min(k, cap_db * cap_new)
+    if exclude is not None:
+        ex = jnp.zeros((cap_db, cap_db + cap_new), dtype=bool)
+        ex = ex.at[: exclude.shape[0], : exclude.shape[1]].set(exclude)
+    else:
+        ex = jnp.zeros((cap_db, cap_db + cap_new), dtype=bool)
     dist, shift, ok = _incremental_scores(
-        db, new_block, new_start, t, max_distance, min_separation
+        db, new_block, new_start, t, max_distance, min_separation, ex
     )
     masked = jnp.where(ok, dist, jnp.inf)
     neg, flat = jax.lax.top_k(-masked.reshape(-1), k)
@@ -309,19 +322,30 @@ def find_loop_candidates_descriptor_incremental(
 
 
 @jax.jit
-def _incremental_scores(db, new_block, new_start, count, max_distance, min_separation):
+def _incremental_scores(
+    db, new_block, new_start, count, max_distance, min_separation, exclude
+):
     """Jitted core of the incremental retrieval: distances of the new
     block against the database plus the validity mask (separation +
-    padding).  Query axis = database (i), so the shift convention matches
-    the all-pairs search."""
+    padding + caller exclusions).  Query axis = database (i), so the shift
+    convention matches the all-pairs search."""
     dist, shift = descriptor_query(db, new_block)  # (cap_db, cap_new)
-    gi = jnp.arange(db.shape[0])[:, None]
-    gj = new_start + jnp.arange(new_block.shape[0])[None, :]
+    cap_db = db.shape[0]
+    cap_new = new_block.shape[0]
+    gi = jnp.arange(cap_db)[:, None]
+    gj = new_start + jnp.arange(cap_new)[None, :]
+    # The (i, j) grid's j-axis starts at the traced cursor: slice the
+    # padded exclusion matrix to the same window.
+    start = jnp.asarray(new_start, jnp.int32)
+    ex = jax.lax.dynamic_slice(
+        exclude, (jnp.zeros((), jnp.int32), start), (cap_db, cap_new)
+    )
     ok = (
         (dist < max_distance)
         & (gj - gi >= min_separation)
         & (gi < count)
         & (gj < count)
+        & ~ex
     )
     return dist, shift, ok
 

@@ -1146,9 +1146,16 @@ def register_loop_closures(
     max_cost: float | None = None,
     coarse: bool = False,
     guesses: RigidTransform | None = None,
+    converge_fn=None,
 ):
     """Register every candidate pair (batched) and return accepted
     ``(edges (K', 2), measurements, costs)``.
+
+    ``converge_fn`` (optional ``(source, target, guess) -> (result, state)``)
+    overrides the in-place :func:`icp_tpu.driver.converge` call — callers
+    with a compiled/AOT-cached converge entry point
+    (:class:`icp_tpu.slam.OnlineSlam`) route the closure batch through it
+    so the batch executable participates in the same disk cache.
 
     ``clouds`` is the batched keyframe cloud stack ``(T, N, D)`` aligned with
     ``poses``.  The relative pose seed is derived from the current poses
@@ -1196,7 +1203,10 @@ def register_loop_closures(
         xj = RigidTransform(poses.rotation[j], poses.translation[j])
         seed = geometry.compose(geometry.inverse(xi), xj)
 
-    result, _ = converge(method, src, tgt, seed, driver_config)
+    if converge_fn is not None:
+        result, _ = converge_fn(src, tgt, seed)
+    else:
+        result, _ = converge(method, src, tgt, seed, driver_config)
     # Measurement convention of :class:`PoseGraph`: Z_e = frame-i pose of
     # frame j. Registering j->i yields exactly that transform.
     meas = result.transform

@@ -17,6 +17,7 @@ checkpoints for bit-identical crash resume
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax.numpy as jnp
 
@@ -121,6 +122,171 @@ def _online_step(
     return pose, cost, new_hist, new_count
 
 
+def _wrap_for(aot_cache: str | None):
+    """jit wrapper for an entry point: plain ``jax.jit`` or the disk-backed
+    AOT executable cache (:mod:`icp_tpu.aot`) when a cache dir is set."""
+    import jax
+
+    if aot_cache is None:
+        return jax.jit
+    from . import aot
+
+    return lambda f: aot.cached_jit(f, directory=aot_cache or None)
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_converge_fn(method: Method, config: DriverConfig, aot_cache=None):
+    """Process-shared compiled converge for (method, config).
+
+    Sessions sharing knobs share ONE jit object — tracing and compilation
+    are paid once per process per abstract shape, not once per
+    :class:`OnlineSlam` instance.  (Measured on the chip bench: per-
+    instance jit objects made every fresh session re-trace its whole
+    executable set even though the persistent compile cache was warm; the
+    accepting-refine stall read seconds of pure host-side re-tracing.)"""
+    from .driver import converge
+
+    return _wrap_for(aot_cache)(
+        lambda source, target, guess: converge(method, source, target, guess, config)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_device_step(
+    method: Method, config: DriverConfig, retry_factor: float, aot_cache=None
+):
+    """Process-shared pipelined device step (see :func:`_online_step`).
+
+    The inner converge stays the plain-jit shared object both because an
+    AOT-cached executable cannot be called under tracing AND because the
+    nested-jit call boundary keeps the pipelined trace fusing IDENTICALLY
+    to the standalone serial executable (the pipelined-vs-serial bitwise
+    pins; inlining the raw function drifted results at the 1-ulp level)."""
+    fn_inner = _shared_converge_fn(method, config)
+    return _wrap_for(aot_cache)(
+        lambda prev_scan, prev_pose, scan, hist, count: _online_step(
+            fn_inner, prev_scan, prev_pose, scan, hist, count, retry_factor
+        )
+    )
+
+
+def _assemble_graph(poses_r, poses_t, odo_r, odo_t, odo_w,
+                    loop_ij, loop_r, loop_t, loop_w, loop_info):
+    """Traced graph assembly from bucket-padded stacks (zero-weight =
+    exactly inert padding) + the robust-edge mask (real closures only)."""
+    graph = pose_graph.graph_from_trajectory(
+        RigidTransform(poses_r, poses_t),
+        RigidTransform(odo_r, odo_t),
+        loop_edges=loop_ij,
+        loop_measurements=RigidTransform(loop_r, loop_t),
+        odometry_weight=odo_w,
+        loop_weight=loop_w,
+        loop_information=loop_info,
+    )
+    mask = jnp.concatenate([jnp.zeros((odo_r.shape[0],), bool), loop_w > 0])
+    return graph, mask
+
+
+def _chain_init(poses_r, poses_t, odo_r, odo_t):
+    """Absolute poses from the immutable odometry chain (log-depth):
+    ``X_0`` = current first-keyframe pose (the gauge), ``X_{i+1} = X_i ∘
+    Z_i``.  Identity-padded measurements extend the last pose over the
+    node-bucket tail (edge-less there, so inert)."""
+    import jax
+
+    def combine(a, b):
+        ra, ta = a
+        rb, tb = b
+        rot = jnp.matmul(ra, rb, precision=geometry.HIGHEST)
+        tr = jnp.einsum("...ij,...j->...i", ra, tb, precision=geometry.HIGHEST) + ta
+        return rot, tr
+
+    rots = jnp.concatenate([poses_r[:1], odo_r], axis=0)
+    trans = jnp.concatenate([poses_t[:1], odo_t], axis=0)
+    pr, pt = jax.lax.associative_scan(combine, (rots, trans))
+    # Re-project the scan products onto SO(D): a length-k f32 product
+    # otherwise contracts (det ~ prod of per-factor dets), and feeding
+    # contracted poses back through the promote/refine cycle compounds
+    # EXPONENTIALLY (measured on the f32 seq2loop stream: keyframe dets
+    # 2.6e-4, NaN Jacobians by refine ~5 — geometry.project_rotation's
+    # docstring carries the numbers).
+    return RigidTransform(geometry.project_rotation(pr), pt)
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_graph_solvers(
+    robust: str,
+    robust_scale,
+    gn_iterations: int,
+    gn_solver: str,
+    mapping_kernel: str,
+    passes: int,
+    aot_cache=None,
+):
+    """Process-shared bucketed refinement solvers: one jitted executable
+    per (node-bucket, closure-bucket) shape pair, shared by every session
+    with equal knobs (see :func:`_shared_converge_fn` for why sharing).
+
+    The GRAPH ASSEMBLY (graph_from_trajectory + robust-edge mask) happens
+    INSIDE the jitted program: the caller hands over bucket-padded
+    pose/measurement stacks and per-edge weight vectors, so a refinement
+    costs ~10 eager pad/fold dispatches instead of ~30 growing assembly
+    ops (BASELINE.md round-4 continuation lever, built in round 5).
+    Kernel/solver/iteration knobs are static; weights and the node count
+    move as traced arrays, so the closure boundary shifting inside a
+    bucket reuses the executable.  Both solvers return
+    ``(poses, edge_weights, scale)``."""
+
+    def _solve_single(*args):
+        graph, mask = _assemble_graph(*args)
+        if robust == "none":
+            g, _ = pose_graph.optimize(
+                graph, iterations=gn_iterations, solver=gn_solver,
+            )
+            one = jnp.ones((graph.num_edges,), graph.weights.dtype)
+            return g.poses, one, jnp.asarray(1.0, graph.weights.dtype)
+        # Resolving 'auto' here (instead of inside optimize) is the same
+        # auto_robust_scale call with the same arguments — bitwise
+        # identical — but hands the scale back for the weights diagnostic
+        # without re-solving.
+        if isinstance(robust_scale, str):
+            scale = pose_graph.auto_robust_scale(
+                graph, iterations=gn_iterations, solver=gn_solver,
+                robust_edges=mask,
+            )
+        else:
+            scale = jnp.asarray(robust_scale, graph.poses.dtype)
+        g, _ = pose_graph.optimize(
+            graph, iterations=gn_iterations, solver=gn_solver,
+            robust=robust, robust_scale=scale, robust_edges=mask,
+        )
+        w, _ = pose_graph.robust_edge_weights(g, robust, scale, robust_edges=mask)
+        return g.poses, w, scale
+
+    def _solve_two_pass(*args):
+        graph, mask = _assemble_graph(*args)
+        # Cold odometry-chain init — robust_solve's own requirement (a
+        # warm start can be stuck in a basin an outlier cluster bent), and
+        # what keeps the CLEAN streaming case healthy: at the
+        # already-refined poses every scale statistic sits at the
+        # registration noise floor, the bootstrap floor (quartile of init
+        # residuals) vanishes, and the re-estimated scale feedback-rejects
+        # perfect closures (measured on the clean seq2loop stream: 60% of
+        # true closures cut by the final refinement; with the chain init,
+        # none).
+        init = _chain_init(args[0], args[1], args[2], args[3])
+        graph = dataclasses.replace(graph, poses=init)
+        g, _, scale, w = pose_graph.robust_solve_fused(
+            graph, mask, kernel=mapping_kernel,
+            iterations=gn_iterations, solver=gn_solver,
+            robust_scale=robust_scale, scale_passes=passes,
+        )
+        return g.poses, w, scale
+
+    wrap = _wrap_for(aot_cache)
+    return wrap(_solve_single), wrap(_solve_two_pass)
+
+
 class OnlineSlam:
     """Incremental SLAM: streaming odometry + periodic robust loop closure.
 
@@ -155,6 +321,12 @@ class OnlineSlam:
     steps, one per closure-batch bucket (the candidate batch is padded to a
     power of two), one graph solve per (keyframe-count bucket, closure
     bucket) — pad-friendly callers should feed fixed-capacity clouds.
+    All jitted objects come from process-shared lru-cached factories keyed
+    on the knob values (:func:`_shared_converge_fn`,
+    :func:`_shared_graph_solvers`), so constructing a new session with the
+    same knobs costs NO re-tracing or re-compilation — measured on the
+    chip bench, per-instance jits read as multi-second refine stalls that
+    were pure host-side re-tracing.
 
     Not thread-safe; feed scans from one thread.
     """
@@ -187,14 +359,22 @@ class OnlineSlam:
         closure_information: bool = False,
         information_neighbors: int = 10,
         pipelined: bool = False,
+        aot_cache: str | None = None,
     ):
-        import jax
-
-        from .driver import make_converge_fn
-
+        # ``aot_cache`` (a directory; "" = the default cache dir) wraps
+        # every jitted executable this session uses — the per-scan
+        # converge (shared with the closure-batch registrations), the
+        # pipelined device step, and the bucketed graph solves — in the
+        # disk-backed AOT executable cache (:mod:`icp_tpu.aot`), so a
+        # process restart skips the multi-minute XLA compiles (VERDICT
+        # round-4 item 5: the SLAM surface was uncovered; the seq3d cold
+        # wall grew 209 -> 372 s).  First-run behavior is identical; only
+        # where the executable comes from changes.  All jitted objects
+        # come from process-shared lru-cached factories, so sessions with
+        # equal knobs share traces and executables.
         self._method = method
         self._config = config
-        self._fn = make_converge_fn(method, config)
+        self._fn = _shared_converge_fn(method, config, aot_cache)
         self._tt = translation_threshold
         self._ta = angle_threshold
         self._loop_every = loop_every
@@ -324,118 +504,15 @@ class OnlineSlam:
         self._hist = None  # (16,) device cost buffer (pipelined mode)
         self._hist_count = None
         self._correction: RigidTransform | None = None  # refine delta for pending
-        self._device_step = jax.jit(
-            lambda prev_scan, prev_pose, scan, hist, count: _online_step(
-                self._fn, prev_scan, prev_pose, scan, hist, count,
-                self._retry_factor,
-            )
+        self._device_step = _shared_device_step(
+            method, config, self._retry_factor, aot_cache
         )
-        # Bucketed refinement solves (see _refine): one jitted executable per
-        # (node-bucket, closure-bucket) shape pair instead of one XLA
-        # compile per refinement — the keyframe count grows a few nodes per
-        # refine, and over the TPU tunnel the per-shape compile dwarfs the
-        # solve.  The GRAPH ASSEMBLY (graph_from_trajectory + robust-edge
-        # mask) happens INSIDE the jitted program: the caller hands over
-        # bucket-padded pose/measurement stacks and per-edge weight vectors
-        # (zero-weight = exactly inert padding), so a refinement costs ~10
-        # eager pad/fold dispatches instead of ~30 growing assembly ops
-        # (BASELINE.md round-4 continuation lever, built in round 5).
-        # Kernel/solver/iteration knobs are closed over (static); weights
-        # and k move as traced arrays, so the closure boundary and node
-        # count shifting inside a bucket reuse the executable.  Both
-        # solvers return ``(poses, edge_weights, scale)``.
-        def _assemble(poses_r, poses_t, odo_r, odo_t, odo_w,
-                      loop_ij, loop_r, loop_t, loop_w, loop_info):
-            graph = pose_graph.graph_from_trajectory(
-                RigidTransform(poses_r, poses_t),
-                RigidTransform(odo_r, odo_t),
-                loop_edges=loop_ij,
-                loop_measurements=RigidTransform(loop_r, loop_t),
-                odometry_weight=odo_w,
-                loop_weight=loop_w,
-                loop_information=loop_info,
-            )
-            mask = jnp.concatenate(
-                [jnp.zeros((odo_r.shape[0],), bool), loop_w > 0]
-            )
-            return graph, mask
-
-        def _chain_init(poses_r, poses_t, odo_r, odo_t):
-            # Absolute poses from the immutable odometry chain (log-depth):
-            # X_0 = current first-keyframe pose (the gauge), X_{i+1} =
-            # X_i ∘ Z_i.  Identity-padded measurements extend the last pose
-            # over the node-bucket tail (edge-less there, so inert).
-            def combine(a, b):
-                ra, ta = a
-                rb, tb = b
-                rot = jnp.matmul(ra, rb, precision=geometry.HIGHEST)
-                tr = jnp.einsum(
-                    "...ij,...j->...i", ra, tb, precision=geometry.HIGHEST
-                ) + ta
-                return rot, tr
-
-            rots = jnp.concatenate([poses_r[:1], odo_r], axis=0)
-            trans = jnp.concatenate([poses_t[:1], odo_t], axis=0)
-            pr, pt = jax.lax.associative_scan(combine, (rots, trans))
-            # Re-project the scan products onto SO(D): a length-k f32
-            # product otherwise contracts (det ~ prod of per-factor dets),
-            # and feeding contracted poses back through the promote/refine
-            # cycle compounds EXPONENTIALLY (measured on the f32 seq2loop
-            # stream: keyframe dets 2.6e-4, NaN Jacobians by refine ~5 —
-            # geometry.project_rotation's docstring carries the numbers).
-            return RigidTransform(geometry.project_rotation(pr), pt)
-
-        def _solve_single(*args):
-            graph, mask = _assemble(*args)
-            if self._robust == "none":
-                g, _ = pose_graph.optimize(
-                    graph, iterations=self._gn_iterations, solver=self._gn_solver,
-                )
-                one = jnp.ones((graph.num_edges,), graph.weights.dtype)
-                return g.poses, one, jnp.asarray(1.0, graph.weights.dtype)
-            # Resolving 'auto' here (instead of inside optimize) is the
-            # same auto_robust_scale call with the same arguments — bitwise
-            # identical — but hands the scale back for the weights
-            # diagnostic without re-solving.
-            if isinstance(self._robust_scale, str):
-                scale = pose_graph.auto_robust_scale(
-                    graph, iterations=self._gn_iterations,
-                    solver=self._gn_solver, robust_edges=mask,
-                )
-            else:
-                scale = jnp.asarray(self._robust_scale, graph.poses.dtype)
-            g, _ = pose_graph.optimize(
-                graph, iterations=self._gn_iterations, solver=self._gn_solver,
-                robust=self._robust, robust_scale=scale, robust_edges=mask,
-            )
-            w, _ = pose_graph.robust_edge_weights(
-                g, self._robust, scale, robust_edges=mask
-            )
-            return g.poses, w, scale
-
-        def _solve_two_pass(*args):
-            graph, mask = _assemble(*args)
-            # Cold odometry-chain init — robust_solve's own requirement
-            # (a warm start can be stuck in a basin an outlier cluster
-            # bent), and what keeps the CLEAN streaming case healthy: at
-            # the already-refined poses every scale statistic sits at the
-            # registration noise floor, the bootstrap floor (quartile of
-            # init residuals) vanishes, and the re-estimated scale
-            # feedback-rejects perfect closures (measured on the clean
-            # seq2loop stream: 60% of true closures cut by the final
-            # refinement; with the chain init, none).
-            init = _chain_init(args[0], args[1], args[2], args[3])
-            graph = dataclasses.replace(graph, poses=init)
-            passes = 2 if scale_passes == "auto" else int(scale_passes)
-            g, _, scale, w = pose_graph.robust_solve_fused(
-                graph, mask, kernel=self._mapping_kernel,
-                iterations=self._gn_iterations, solver=self._gn_solver,
-                robust_scale=self._robust_scale, scale_passes=passes,
-            )
-            return g.poses, w, scale
-
-        self._graph_solve = jax.jit(_solve_single)
-        self._graph_solve_two_pass = jax.jit(_solve_two_pass)
+        # Bucketed refinement solves (see _refine / _shared_graph_solvers).
+        self._graph_solve, self._graph_solve_two_pass = _shared_graph_solvers(
+            self._robust, self._robust_scale, self._gn_iterations,
+            self._gn_solver, self._mapping_kernel,
+            2 if scale_passes == "auto" else int(scale_passes), aot_cache,
+        )
         self._closure_weights_dev = None  # (num closures,) device array
         self._robust_scale_used = None
 
@@ -860,14 +937,14 @@ class OnlineSlam:
     # -- internals ----------------------------------------------------------
 
     def _promote(self, scan: PointCloud, pose: RigidTransform) -> None:
-        # Keyframe poses are long-lived state: re-project onto SO(D) before
-        # anything stores or derives from them.  The live pose reaching
-        # here is a compose-chain product, and in f32 the chain's scale
-        # drift FEEDS BACK (transpose-inverse composes square it through
-        # the refine cycle) — measured: keyframe dets 2.6e-4 and NaN graph
-        # Jacobians on the f32 seq2loop stream without this
-        # (geometry.project_rotation's docstring carries the numbers).
-        pose = geometry.renormalize(pose)
+        # No SO(D) re-projection here: per-compose drift is ADDITIVE
+        # (~1e-7/step in f32) and every long chain product — the one
+        # multiplicative amplifier, measured at keyframe dets 2.6e-4 and
+        # NaN Jacobians before the fix — is projected inside the jitted
+        # two-pass solve (``_chain_init``).  An eager projection here
+        # would also be ASYMMETRIC between the serial keyframe chain and
+        # the pipelined scan chain, breaking the pipelined-vs-serial
+        # bitwise pins at the 1-ulp level (measured).
         if self._kf_clouds:
             # The keyframe-to-keyframe odometry MEASUREMENT, captured at
             # promotion time (== the registration-derived relative
@@ -924,11 +1001,18 @@ class OnlineSlam:
             # round-3; VERDICT round-3 item 4).
             from .ops.descriptor import find_loop_candidates_descriptor_incremental
 
+            exclude = None
+            if self._tried_pairs:
+                ex = np.zeros((k, k), dtype=bool)
+                tried = np.asarray(sorted(self._tried_pairs), dtype=np.int64)
+                ex[tried[:, 0], tried[:, 1]] = True
+                exclude = jnp.asarray(ex)
             cands, yaws = find_loop_candidates_descriptor_incremental(
                 jnp.stack(self._kf_descs), self._desc_queried,
                 self._desc_max_dist,
                 min_separation=self._loop_min_sep,
                 max_candidates=self._loop_max_cands,
+                exclude=exclude,
             )
             self._desc_queried = k
             yaw_by_pair = {
@@ -1003,6 +1087,7 @@ class OnlineSlam:
                 self._method, self._config, max_cost=self._loop_max_cost,
                 coarse=self._loop_coarse and guesses is None,
                 guesses=guesses,
+                converge_fn=self._fn,
             )
             edges_np = np.asarray(edges)
             seen = set(self._loop_edges)
@@ -1263,7 +1348,11 @@ def merge_sessions(
         "pose_rot": ar @ sb["pose_rot"],
         "pose_trans": ar @ sb["pose_trans"] + at,
         "kf_since_refine": np.asarray(0),
-        "cost_hist": sb["cost_hist"],
+        # Anomaly-retry baseline of the merged stream: the tail of BOTH
+        # histories (b's most recent last, matching the live pose), so the
+        # median the retry compares against reflects the union rather than
+        # restarting from b's alone (ADVICE round-4).
+        "cost_hist": np.concatenate([sa["cost_hist"], sb["cost_hist"]])[-16:],
         "tried_pairs": np.concatenate(
             [
                 sa["tried_pairs"].reshape(-1, 2),
@@ -1349,6 +1438,16 @@ def merge_sessions(
         # closures with the trajectory tails un-pinned.)
         for _ in range(16):
             seen = len(merged._loop_edges)
+            if merged._loop_detector == "descriptor":
+                # Descriptors are immutable, so the incremental cursor
+                # would stop after ONE candidate round (the first refine
+                # scores everything and sets the cursor to k) and cap
+                # cross-session closures at one budget's worth (ADVICE
+                # round-4).  Re-lower it each saturation round: the
+                # tried-pair EXCLUSION inside the retrieval keeps the
+                # budget on fresh pairs, so this terminates exactly like
+                # the radius path — when a full re-scan accepts nothing.
+                merged._desc_queried = 0
             refined = merged._refine() or refined
             if len(merged._loop_edges) == seen:
                 break
