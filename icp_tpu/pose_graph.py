@@ -272,6 +272,7 @@ def auto_robust_scale(
     cg_iterations: int = 50,
     robust_edges: Array | None = None,
     rule: str = "median",
+    early_exit_tol: float | None = None,
 ) -> Array:
     """Data-driven robust inlier scale from an L2 pre-solve.
 
@@ -328,6 +329,7 @@ def auto_robust_scale(
         damping=damping,
         solver=solver,
         cg_iterations=cg_iterations,
+        early_exit_tol=early_exit_tol,
     )
     rn2_base = _geometric_rn2(base, base.poses)
     rn = jnp.sqrt(rn2_base)
@@ -444,8 +446,22 @@ def optimize(
     robust_scale: float | str | Array = "auto",
     robust_edges: Array | None = None,
     gnc_head: float = 0.25,
+    early_exit_tol: float | None = None,
 ) -> tuple[PoseGraph, Array]:
     """Run Gauss-Newton / IRLS; returns (optimized graph, per-iteration cost).
+
+    ``early_exit_tol`` (fixed-scale kernels + L2 only — GNC's mu anneal is
+    a fixed-length schedule by construction): replace the fixed-budget
+    ``lax.scan`` with a device-side ``lax.while_loop`` that stops once a
+    step improves the cost by less than ``tol`` relative (a REJECTED
+    monotone-guard step keeps iterating — the LM damping is still
+    adapting).  The cost trace then has length 2 (initial, final) instead
+    of ``iterations + 1``.  Why: the solves inside
+    :class:`icp_tpu.slam.OnlineSlam`'s fused two-pass refinement converge
+    in ~4-8 of their 30 budgeted iterations, so the fixed scan wastes ~3x
+    device time on converged no-op steps (round-5 stall decomposition,
+    BASELINE.md); offline paths keep the fixed budget (full cost curves,
+    fixed-shape traces).
 
     ``solver='dense'`` builds J explicitly (fine to a few hundred DOF);
     ``'cg'`` is matrix-free conjugate gradient on the normal equations;
@@ -685,6 +701,55 @@ def optimize(
             )
         return (new_poses, new_damping), cost
 
+    if early_exit_tol is not None:
+        if robust == "gnc_gm":
+            raise ValueError(
+                "early_exit_tol does not support the gnc_gm schedule "
+                "(fixed-length mu anneal)"
+            )
+        mu1 = jnp.asarray(1.0, dtype=dtype)
+        tol = jnp.asarray(early_exit_tol, dtype=dtype)
+        big = jnp.asarray(jnp.inf, dtype=dtype)
+
+        def cond(carry):
+            _, _, it, _, stop = carry
+            return (it < iterations) & ~stop
+
+        def body(carry):
+            poses_c, lm, it, prev_cost, _ = carry
+            (new_poses, new_lm), cost = gn_step((poses_c, lm), mu1)
+            # ``cost`` is evaluated BEFORE the step (at poses_c); the
+            # improvement prev_cost -> cost measures the PREVIOUS step.
+            # Exiting one step after convergence is harmless (monotone
+            # descent), and initial prev_cost = inf keeps step 0 running.
+            # A REJECTED monotone-guard step leaves cost unchanged
+            # (improvement exactly 0) while the LM damping climbs — that
+            # must keep iterating, so rejection (identified by the damping
+            # ramp: accept halves it, reject multiplies by 8) vetoes the
+            # stop.
+            improved = prev_cost - cost
+            rejected = new_lm > lm
+            stop = ~rejected & (
+                improved <= tol * jnp.maximum(cost, jnp.asarray(1e-30, dtype))
+            )
+            return (new_poses, new_lm, it + 1, cost, stop)
+
+        init = (
+            graph.poses, jnp.asarray(damping, dtype=dtype),
+            jnp.asarray(0, jnp.int32), big,
+            jnp.asarray(False),
+        )
+        poses, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+        rn2_init = _geometric_rn2(graph, graph.poses)
+        rn2_fin = _geometric_rn2(dataclasses.replace(graph, poses=poses), poses)
+        costs = jnp.stack(
+            [
+                jnp.sum(graph.weights * rho_of(rn2_init, mu1)),
+                jnp.sum(graph.weights * rho_of(rn2_fin, mu1)),
+            ]
+        )
+        return dataclasses.replace(graph, poses=poses), costs
+
     init_carry = (graph.poses, jnp.asarray(damping, dtype=dtype))
     (poses, _), costs = jax.lax.scan(gn_step, init_carry, mus)
     # costs[k] is evaluated BEFORE step k; append the post-final-step cost so
@@ -695,6 +760,8 @@ def optimize(
         [costs, jnp.sum(graph.weights * rho_of(rn2_final, mu_final))[None]]
     )
     return dataclasses.replace(graph, poses=poses), costs
+
+
 
 
 def robust_solve(
@@ -831,6 +898,7 @@ def robust_solve_fused(
     scale_passes: int = 2,
     shrink_bound: float = 8.0,
     gnc_head: float = 0.25,
+    early_exit_tol: float | None = None,
 ) -> tuple[PoseGraph, Array, Array, Array]:
     """:func:`robust_solve` as ONE traceable device program (jit-safe).
 
@@ -874,6 +942,7 @@ def robust_solve_fused(
             solver=solver,
             cg_iterations=cg_iterations,
             robust_edges=robust_edges,
+            early_exit_tol=early_exit_tol,
         )
     else:
         scale = jnp.asarray(robust_scale, dtype=graph.poses.dtype)
@@ -899,6 +968,7 @@ def robust_solve_fused(
             robust_scale=s,
             robust_edges=robust_edges,
             gnc_head=gnc_head,
+            early_exit_tol=early_exit_tol,
         )
 
     opt, costs = solve(scale)

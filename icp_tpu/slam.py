@@ -276,10 +276,17 @@ def _shared_graph_solvers(
         # none).
         init = _chain_init(args[0], args[1], args[2], args[3])
         graph = dataclasses.replace(graph, poses=init)
+        # Device-side early exit (optimize's early_exit_tol): the three
+        # chained GN solves converge in ~4-8 of their 30 budgeted
+        # iterations from the chain init, so the fixed scan wasted ~3x
+        # device time (round-5 stall decomposition, BASELINE.md).  The
+        # streaming quality bounds (seq2loop outlier protocol R/K/ATE)
+        # are pinned with this on.
         g, _, scale, w = pose_graph.robust_solve_fused(
             graph, mask, kernel=mapping_kernel,
             iterations=gn_iterations, solver=gn_solver,
             robust_scale=robust_scale, scale_passes=passes,
+            early_exit_tol=1e-6,
         )
         return g.poses, w, scale
 
