@@ -181,6 +181,44 @@ def test_merge_descriptor_anchor_recovered_by_relocalization(rng):
     )
 
 
+def test_merge_descriptor_saturates_past_one_budget(rng):
+    """Descriptor-mode merge saturation (ADVICE round-4 item 2): before the
+    round-5 fix, merge_sessions' first refinement set the retrieval cursor
+    to k and later rounds surfaced NO fresh pairs, capping cross-session
+    closures at one loop_max_candidates budget.  With the cursor
+    re-lowered each saturation round and the tried-pair EXCLUSION spending
+    the budget on fresh pairs only, a merge whose candidate budget is
+    SMALLER than the available cross-session revisits must accumulate more
+    closures than one budget's worth."""
+    scans, gt = _distinctive_circle(rng)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+
+    def sess():
+        return _session(
+            method, loop_detector="descriptor", descriptor_range=45.0,
+            descriptor_max_distance=0.4, loop_max_candidates=3,
+        )
+
+    a = sess()
+    for s in scans[:28]:
+        a.add_scan(s)
+    b = sess()
+    for s in scans[20:]:
+        b.add_scan(s)
+    before = len(a._loop_edges) + len(b._loop_edges)
+    merged, report = slam.merge_sessions(
+        a, b, relocalize_kwargs=dict(max_distance=0.45)
+    )
+    # More NEW closures than one 3-candidate budget could ever deliver.
+    assert report.new_closures > 3, report
+    # merged = both sessions' closures + the anchor edge + the new ones.
+    assert len(merged._loop_edges) == before + 1 + report.new_closures
+    want_end = gt[-1, :2] - gt[0, :2]
+    np.testing.assert_allclose(
+        np.asarray(merged._pose.translation), want_end, atol=0.15
+    )
+
+
 def test_merge_3d_seq3d_split():
     """SE(3) merge: seq3d split into two half-loops (GICP front-end).  The
     anchor is session A's estimate at the handoff sweep; the joint solve
