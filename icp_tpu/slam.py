@@ -367,6 +367,7 @@ class OnlineSlam:
         information_neighbors: int = 10,
         pipelined: bool = False,
         aot_cache: str | None = None,
+        async_refine: bool = False,
     ):
         # ``aot_cache`` (a directory; "" = the default cache dir) wraps
         # every jitted executable this session uses — the per-scan
@@ -520,6 +521,27 @@ class OnlineSlam:
             self._gn_solver, self._mapping_kernel,
             2 if scale_passes == "auto" else int(scale_passes), aot_cache,
         )
+        # Asynchronous refinement (round 5): ``async_refine=True`` removes
+        # the solve from the add_scan critical path entirely.  JAX dispatch
+        # is already asynchronous — what serializes the solve into the next
+        # scan is the DATA DEPENDENCE (the next registration's pose chains
+        # from the re-anchored keyframe).  With the knob on, _refine
+        # dispatches the solve and returns WITHOUT re-anchoring; subsequent
+        # scans chain from the stale estimate, and the first add_scan after
+        # the device result is ready applies the exact left-compose
+        # correction (the pipelined handoff math): for every pose X chained
+        # after the snapshot, C ∘ X with C = solved_anchor ∘ stale_anchor⁻¹
+        # equals what re-anchoring at the refine would have produced, to
+        # one compose of fp roundoff.  Deltas vs synchronous: corrections
+        # land 1+ scans late (the live pose was stale DURING the solve
+        # anyway), and a refine cycle whose previous solve is still in
+        # flight is deferred to the next keyframe.  finalize()/state_dict()
+        # force-apply, so end-of-stream state is complete.
+        self._async_refine = async_refine
+        self._aot_cache = aot_cache
+        # (poses[:k] slice, closure-weight slice, scale, k) — all device
+        # values; no host sync until .is_ready() says the solve landed.
+        self._async_solve = None
         self._closure_weights_dev = None  # (num closures,) device array
         self._robust_scale_used = None
 
@@ -609,6 +631,55 @@ class OnlineSlam:
             return None
         return np.asarray(self._closure_weights_dev)
 
+    def _maybe_apply_async(self, force: bool = False) -> bool:
+        """Apply a finished asynchronous refinement (no-op if none pending
+        or, unless ``force``, the device result is not ready yet)."""
+        if self._async_solve is None:
+            return False
+        new_poses, w_slice, scale, k_snap = self._async_solve
+        if not force and not new_poses.translation.is_ready():
+            return False
+        self._async_solve = None
+        poses_now = self.keyframe_poses  # folds pending; (k_now >= k_snap,)
+        k_now = poses_now.translation.shape[0]
+        old_anchor = RigidTransform(
+            poses_now.rotation[k_snap - 1], poses_now.translation[k_snap - 1]
+        )
+        new_anchor = RigidTransform(
+            new_poses.rotation[k_snap - 1], new_poses.translation[k_snap - 1]
+        )
+        corr = geometry.compose(new_anchor, geometry.inverse(old_anchor))
+        if k_now > k_snap:
+            # Keyframes promoted while the solve was in flight chained from
+            # the stale anchor: left-compose the correction (exact; see
+            # the async_refine note in __init__).
+            tail = geometry.compose(
+                corr,
+                RigidTransform(
+                    poses_now.rotation[k_snap:], poses_now.translation[k_snap:]
+                ),
+            )
+            self._kf_poses = RigidTransform(
+                jnp.concatenate([new_poses.rotation, tail.rotation]),
+                jnp.concatenate([new_poses.translation, tail.translation]),
+            )
+        else:
+            self._kf_poses = new_poses
+        self._cur_kf_pose = RigidTransform(
+            self._kf_poses.rotation[-1], self._kf_poses.translation[-1]
+        )
+        self._pose = geometry.compose(corr, self._pose)
+        if self._pipelined and self._pending is not None:
+            # The in-flight scan's pose also chains from the stale frame.
+            self._correction = (
+                corr
+                if self._correction is None
+                else geometry.compose(corr, self._correction)
+            )
+        self._closure_weights_dev = w_slice
+        self._robust_scale_used = scale
+        return True
+
     def add_scan(self, scan: PointCloud) -> OnlineUpdate | None:
         """Feed one scan.  Serial mode returns this scan's update; pipelined
         mode returns the PREVIOUS scan's update (None on the second scan —
@@ -652,12 +723,14 @@ class OnlineSlam:
         if len(hist) > 16:
             hist.pop(0)
         self._pose = pose
-        refined = False
+        # A finished asynchronous solve corrects the pose we just chained
+        # (non-blocking readiness check; ~free when nothing is pending).
+        refined = self._maybe_apply_async()
         if is_kf:
-            self._promote(scan, pose)
+            self._promote(scan, self._pose)
             self._kf_since_refine += 1
             if self._kf_since_refine >= self._loop_every:
-                refined = self._refine()
+                refined = self._refine() or refined
                 self._kf_since_refine = 0
         return OnlineUpdate(self._pose, bool(is_kf), refined, len(self._loop_edges))
 
@@ -705,6 +778,10 @@ class OnlineSlam:
         same keyframe the decision is made against); the one remaining
         pipeline delta is that the scan REGISTERED against a one-scan-older
         keyframe (pose accuracy, not cadence)."""
+        # A finished asynchronous solve first — while _pending is still
+        # set, so the apply records the correction for exactly this
+        # in-flight scan.
+        applied = self._maybe_apply_async()
         scan, pose = self._pending
         self._pending = None
         if self._correction is not None:
@@ -727,17 +804,21 @@ class OnlineSlam:
         dt_v, da_v = np.asarray(jnp.stack([delta_t, jnp.abs(delta_a)]))
         promoted = float(dt_v) > self._tt or float(da_v) > self._ta
         self._pose = pose
-        refined = False
+        refined = applied
         if promoted:
             self._promote(scan, pose)
             self._kf_since_refine += 1
             if self._kf_since_refine >= self._loop_every:
                 old_kf = self._cur_kf_pose
-                refined = self._refine()
-                if refined:
+                ran = self._refine()
+                if ran:
+                    # Synchronous re-anchor: correct the in-flight scan.
+                    # (Async mode returns False here — its correction is
+                    # recorded at application time instead.)
                     self._correction = geometry.compose(
                         self._cur_kf_pose, geometry.inverse(old_kf)
                     )
+                refined = ran or refined
                 self._kf_since_refine = 0
         return OnlineUpdate(self._pose, promoted, refined, len(self._loop_edges))
 
@@ -761,6 +842,7 @@ class OnlineSlam:
         in-flight scan first (a checkpoint is a stream boundary)."""
         if self._pipelined:
             self.flush()
+        self._maybe_apply_async(force=True)
         if not self._kf_clouds:
             return {"num_keyframes": np.asarray(0)}
         out = {
@@ -937,9 +1019,12 @@ class OnlineSlam:
             self.flush()
         if len(self._kf_clouds) < 2:
             return False
+        applied = self._maybe_apply_async(force=True)
         refined = self._refine()
+        # Async mode: the final solve must land before returning.
+        refined = self._maybe_apply_async(force=True) or refined
         self._kf_since_refine = 0
-        return refined
+        return refined or applied
 
     # -- internals ----------------------------------------------------------
 
@@ -993,6 +1078,13 @@ class OnlineSlam:
         """
         from .cloud import bucket_capacity
 
+        if self._async_solve is not None:
+            # A previous asynchronous solve is still outstanding: apply it
+            # if the device has finished, otherwise defer this whole
+            # refine cycle to the next keyframe boundary (candidates found
+            # now would seed from poses about to be corrected anyway).
+            if not self._maybe_apply_async():
+                return False
         poses = self.keyframe_poses
         k = len(self._kf_clouds)
         node_cap = bucket_capacity(k, min_capacity=16)
@@ -1194,7 +1286,16 @@ class OnlineSlam:
         else:
             new_poses, w, scale = self._graph_solve(*args)
         # Closure weights sit after the padded odometry block.
-        self._closure_weights_dev = w[node_cap - 1 : node_cap - 1 + n_loop]
+        w_slice = w[node_cap - 1 : node_cap - 1 + n_loop]
+        if self._async_refine:
+            # Dispatch-only: the correction lands at the first add_scan
+            # after the device result is ready (see __init__'s async note).
+            self._async_solve = (
+                RigidTransform(new_poses.rotation[:k], new_poses.translation[:k]),
+                w_slice, scale, k,
+            )
+            return False
+        self._closure_weights_dev = w_slice
         self._robust_scale_used = scale
         # Re-anchor: replace keyframe poses; shift the live pose by the
         # correction applied to the current keyframe (pose = kf ∘ rel keeps
@@ -1427,6 +1528,8 @@ def merge_sessions(
         closure_information=a._closure_information,
         information_neighbors=a._information_neighbors,
         pipelined=a._pipelined,
+        aot_cache=a._aot_cache,
+        async_refine=a._async_refine,
     )
     merged.load_state(state)
     before = len(merged._loop_edges)
@@ -1456,6 +1559,9 @@ def merge_sessions(
                 # the radius path — when a full re-scan accepts nothing.
                 merged._desc_queried = 0
             refined = merged._refine() or refined
+            # Saturation is a batch loop: land any async solve before
+            # deciding whether the round added closures.
+            merged._maybe_apply_async(force=True)
             if len(merged._loop_edges) == seen:
                 break
     return merged, MergeReport(
