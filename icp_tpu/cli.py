@@ -460,6 +460,7 @@ def cmd_odometry(args):
             closure_information=args.closure_information,
             pipelined=args.pipelined,
             aot_cache=getattr(args, "aot_cache", None),
+            async_refine=args.async_refine,
         )
         live_poses = []
 
@@ -921,6 +922,14 @@ def main(argv=None):
         "--online", action="store_true",
         help="streaming mode: scan-by-scan OnlineSlam (periodic robust loop "
         "closure, live re-anchoring) instead of the offline batch pipeline",
+    )
+    p_odo.add_argument(
+        "--async-refine", action="store_true",
+        help="(--online) dispatch loop-closure refinements asynchronously: "
+        "the solve leaves the add_scan critical path and the exact "
+        "left-compose correction lands when the device result is ready "
+        "(bucket prefetch compiles upcoming solver shapes in the "
+        "background)",
     )
     p_odo.add_argument(
         "--pipelined", action="store_true",

@@ -368,6 +368,7 @@ class OnlineSlam:
         pipelined: bool = False,
         aot_cache: str | None = None,
         async_refine: bool = False,
+        prefetch_buckets: bool | None = None,
     ):
         # ``aot_cache`` (a directory; "" = the default cache dir) wraps
         # every jitted executable this session uses — the per-scan
@@ -542,6 +543,21 @@ class OnlineSlam:
         # (poses[:k] slice, closure-weight slice, scale, k) — all device
         # values; no host sync until .is_ready() says the solve landed.
         self._async_solve = None
+        # Bucket prefetch: compile the NEXT (node-bucket, closure-bucket)
+        # solver shapes in a background thread BEFORE the stream crosses a
+        # boundary.  A first-ever bucket shape otherwise pays its XLA
+        # compile mid-stream (measured: a 28 s worst-scan outlier over the
+        # tunnel when async application timing pushed the measured stream
+        # across a bucket the warm-up never hit).  The dummy solve runs on
+        # identity poses with all-zero edge weights (damping-only — cheap,
+        # exactly inert padding semantics), the jit caches are
+        # thread-safe, and nothing touches session state, so results are
+        # bitwise unchanged.  Default: on whenever async_refine is on (the
+        # mode whose worst scan the compile would otherwise own).
+        self._prefetch = (
+            async_refine if prefetch_buckets is None else prefetch_buckets
+        )
+        self._prefetched: set = set()
         self._closure_weights_dev = None  # (num closures,) device array
         self._robust_scale_used = None
 
@@ -630,6 +646,120 @@ class OnlineSlam:
         if self._closure_weights_dev is None:
             return None
         return np.asarray(self._closure_weights_dev)
+
+    def _dummy_solver_args(self, node_cap: int, loop_cap: int, dtype, dim: int):
+        """Shape-correct inert inputs for a solver-bucket prefetch: identity
+        poses/measurements, all edge weights zero (damping-only solve)."""
+        eye = jnp.broadcast_to(
+            jnp.eye(dim, dtype=dtype), (node_cap, dim, dim)
+        )
+        zeros_n = jnp.zeros((node_cap, dim), dtype=dtype)
+        ij = jnp.zeros((loop_cap, 2), dtype=jnp.int32).at[:, 1].set(1)
+        return (
+            eye, zeros_n,
+            eye[: node_cap - 1], zeros_n[: node_cap - 1],
+            jnp.zeros((node_cap - 1,), dtype=dtype),
+            ij,
+            jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (loop_cap, dim, dim)),
+            jnp.zeros((loop_cap, dim), dtype=dtype),
+            jnp.zeros((loop_cap,), dtype=dtype),
+            None,
+        )
+
+    def _prefetch_bucket(self, node_cap: int, loop_cap: int, two_pass: bool):
+        key = (node_cap, loop_cap, two_pass)
+        if key in self._prefetched:
+            return
+        self._prefetched.add(key)
+        dtype = self._kf_clouds[0].dtype
+        dim = self._kf_clouds[0].dim
+        fn = self._graph_solve_two_pass if two_pass else self._graph_solve
+
+        def build():
+            try:
+                import jax
+
+                out = fn(*self._dummy_solver_args(node_cap, loop_cap, dtype, dim))
+                jax.block_until_ready(out[0].translation)
+            except Exception:  # noqa: BLE001 — a failed prefetch must not
+                pass  # take the stream down; the shape compiles on demand.
+
+        import threading
+
+        # Non-daemon: a daemon thread killed mid-XLA-compile at interpreter
+        # exit takes the process down with a C++ ``terminate`` (measured);
+        # a normal thread simply finishes its compile and exits.
+        threading.Thread(target=build, name="icp-prefetch").start()
+
+    def _prefetch_converge(self, batch: int, cap: int, dim: int, dtype):
+        """Background-compile the closure-batch converge at one batch
+        bucket (inert inputs; see :meth:`_prefetch_bucket`)."""
+        src = PointCloud(
+            jnp.zeros((batch, cap, dim), dtype=dtype),
+            jnp.full((batch,), cap, dtype=jnp.int32),
+        )
+        guess = geometry.identity(dim, (batch,), dtype=dtype)
+
+        def build():
+            try:
+                import jax
+
+                result, _ = self._fn(src, src, guess)
+                jax.block_until_ready(result.cost)
+            except Exception:  # noqa: BLE001
+                pass
+
+        import threading
+
+        threading.Thread(target=build, name="icp-prefetch").start()
+
+    def _maybe_prefetch(self, k: int, node_cap: int, n_loop: int, loop_cap: int):
+        """Fire background compiles for bucket shapes the stream is about
+        to need: the next node bucket (k grows ~1 keyframe per loop_every
+        scans), the next closure bucket (n_loop grows up to
+        loop_max_candidates per refine), and the two-pass variant just
+        before the closure count crosses mapping_threshold."""
+        from .cloud import bucket_capacity
+
+        two_now = self._robust != "none" and self._scale_passes != 1 and (
+            self._scale_passes != "auto" or n_loop >= self._mapping_threshold
+        )
+        targets = []
+        if k + 2 * self._loop_every >= node_cap:
+            targets.append((node_cap * 2, loop_cap, two_now))
+        if n_loop + 2 * self._loop_max_cands >= loop_cap:
+            targets.append((node_cap, bucket_capacity(loop_cap + 1, 8), two_now))
+        if (
+            not two_now
+            and self._robust != "none"
+            and self._scale_passes == "auto"
+            and n_loop + self._loop_max_cands >= self._mapping_threshold
+        ):
+            # The solver SWITCHES at the threshold: pre-build the two-pass
+            # executable at the shapes the switch will first see.
+            targets.append((node_cap, loop_cap, True))
+            targets.append(
+                (node_cap, bucket_capacity(loop_cap + 1, 8), True)
+            )
+        for nc, lc, tp in targets:
+            self._prefetch_bucket(nc, lc, tp)
+        # Closure-batch converge buckets: the fresh-candidate count varies
+        # refine to refine (0..loop_max_candidates, and nondeterministically
+        # under async application timing), so a batch bucket the warm
+        # stream never produced can first appear mid-stream — measured as
+        # a ~3 s worst-scan compile after the solver buckets were already
+        # prefetched.  The full set is tiny ({4, 8, ..., bucket(max)}):
+        # build them all once.
+        cap = self._kf_clouds[0].capacity
+        dim = self._kf_clouds[0].dim
+        dtype = self._kf_clouds[0].dtype
+        b = 4
+        while b <= bucket_capacity(self._loop_max_cands, min_capacity=4):
+            key = ("converge", b)
+            if key not in self._prefetched:
+                self._prefetched.add(key)
+                self._prefetch_converge(b, cap, dim, dtype)
+            b *= 2
 
     def _maybe_apply_async(self, force: bool = False) -> bool:
         """Apply a finished asynchronous refinement (no-op if none pending
@@ -1285,6 +1415,8 @@ class OnlineSlam:
             new_poses, w, scale = self._graph_solve_two_pass(*args)
         else:
             new_poses, w, scale = self._graph_solve(*args)
+        if self._prefetch:
+            self._maybe_prefetch(k, node_cap, n_loop, loop_cap)
         # Closure weights sit after the padded odometry block.
         w_slice = w[node_cap - 1 : node_cap - 1 + n_loop]
         if self._async_refine:

@@ -476,3 +476,37 @@ def test_online_slam_async_refine_pipelined(rng):
     assert len(online._loop_edges) >= 1
     end = float(np.linalg.norm(np.asarray(online._pose.translation)))
     assert end < 0.05, end
+
+
+def test_online_slam_bucket_prefetch_inert(rng):
+    """prefetch_buckets=True background-compiles upcoming solver bucket
+    shapes (dummy identity inputs, zero edge weights) without touching
+    session state: the streamed results are BITWISE identical to the
+    prefetch-off run, and the prefetched-shape set is populated."""
+    scans, gt = _circle_scans(rng)
+    method = icp.from_method("trimmed", 2, icp.Config(overlap_rate=1.0))
+
+    def run(prefetch):
+        online = slam.OnlineSlam(
+            method, _cfg(),
+            translation_threshold=0.4, angle_threshold=0.15,
+            loop_every=4, loop_radius=1.5, loop_min_separation=10,
+            robust="gnc_gm", robust_scale="auto",
+            odometry_weight=100.0, loop_weight=100.0,
+            prefetch_buckets=prefetch,
+        )
+        for s in scans:
+            online.add_scan(s)
+        online.finalize()
+        return online
+
+    off = run(False)
+    on = run(True)
+    assert on._prefetched, "no bucket was prefetched"
+    np.testing.assert_array_equal(
+        np.asarray(off.keyframe_poses.translation),
+        np.asarray(on.keyframe_poses.translation),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(off._pose.translation), np.asarray(on._pose.translation)
+    )
