@@ -495,6 +495,17 @@ def cmd_odometry(args):
             + (" (finalize ran a refinement)" if flushed else ""),
             file=sys.stderr,
         )
+        w = online.closure_weights
+        if w is not None and len(w):
+            # The robust diagnostic (SlamResult.edge_weights' streaming
+            # twin): rejected closures sit near 0, inliers near 1.
+            print(
+                f"closure robust weights: min {float(np.min(w)):.4g} "
+                f"median {float(np.median(w)):.4g} "
+                f"(kept >=0.5: {int((w >= 0.5).sum())}/{len(w)}; "
+                f"scale {float(np.asarray(online._robust_scale_used)):.4g})",
+                file=sys.stderr,
+            )
         if args.save:
             from .checkpoint import save_pytree
 
