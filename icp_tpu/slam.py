@@ -642,7 +642,13 @@ class OnlineSlam:
         diagnostic: a rejected (wrong-basin) closure sits near 0, inliers
         near 1 — what ``run_slam`` reports as ``SlamResult.edge_weights``,
         now available on the streaming surface too.  Accessing this syncs
-        the device value; the refine path itself never does."""
+        the device value; the refine path itself never does.
+
+        Under ``async_refine`` the weights correspond to the last APPLIED
+        refinement: between a dispatch and its application they can lag
+        newly-accepted closures (length < the closure count).  Call
+        :meth:`finalize` (or checkpoint) first when zipping them against
+        the closure list."""
         if self._closure_weights_dev is None:
             return None
         return np.asarray(self._closure_weights_dev)
@@ -1739,6 +1745,7 @@ def run_slam(
     mapping_threshold: int = 12,
     closure_information: bool = False,
     information_neighbors: int = 10,
+    aot_cache: str | None = None,
 ) -> SlamResult:
     """Odometry + (optional) loop closure + pose-graph refinement.
 
@@ -1782,8 +1789,21 @@ def run_slam(
     """
     if gn_iterations is None:
         gn_iterations = 10 if robust == "none" else 30
+    # ``aot_cache`` (a directory; "" = the default cache dir): route the
+    # odometry-chain converge (pair-count-bucketed) and the closure-batch
+    # registrations through the disk-backed AOT executable cache, so a
+    # fresh process skips the multi-minute XLA compiles — the offline twin
+    # of OnlineSlam's knob (the 3D seq3d pipeline's wall is
+    # compile-dominated: bench row ``seq3d_gicp_slam_end_error_m``).
+    wrap = closure_fn = None
+    if aot_cache is not None:
+        from . import aot
+
+        wrap = lambda f: aot.cached_jit(f, directory=aot_cache or None)  # noqa: E731
+        closure_fn = _shared_converge_fn(method, config, aot_cache)
     traj = odometry.chain_scans(
-        scans, method, config, coarse=coarse, multiscale=multiscale
+        scans, method, config, coarse=coarse, multiscale=multiscale,
+        wrap_converge=wrap, pad_pairs_to_bucket=wrap is not None,
     )
 
     if loop_detector not in ("radius", "descriptor"):
@@ -1819,6 +1839,7 @@ def run_slam(
         loop_edges, loop_meas, _ = pose_graph.register_loop_closures(
             scans, traj.poses, cands, method, config,
             max_cost=loop_max_cost, coarse=loop_coarse, guesses=guesses,
+            converge_fn=closure_fn,
         )
     elif loop_radius is not None:
         cands = pose_graph.find_loop_candidates(
@@ -1829,6 +1850,7 @@ def run_slam(
         loop_edges, loop_meas, _ = pose_graph.register_loop_closures(
             scans, traj.poses, cands, method, config,
             max_cost=loop_max_cost, coarse=loop_coarse,
+            converge_fn=closure_fn,
         )
 
     if loop_edges.shape[0] == 0:
