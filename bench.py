@@ -980,11 +980,19 @@ def run_ndt_roofline(metrics, jnp, icp):
     except FileNotFoundError:
         _progress("ndt_roofline: scan1 data missing; skipped")
         return
-    for variant in ("p2d", "d2d"):
-        method = icp.from_method(
-            "ndt", 2,
-            icp.Config(cell_size=0.5, cells=1024, variant=variant),
-        )
+    specs = (
+        ("ndt_p2d", icp.from_method(
+            "ndt", 2, icp.Config(cell_size=0.5, cells=1024)),
+         "scan1_ndt_pairs_per_sec"),
+        ("ndt_d2d", icp.from_method(
+            "ndt", 2, icp.Config(cell_size=0.5, cells=1024, variant="d2d")),
+         "scan1_ndt_d2d_pairs_per_sec"),
+        # The GN-family cell (round 5): same certification question for
+        # gicp's 898 pairs/s — iterate ceiling vs the converge row.
+        ("gicp", icp.from_method("gicp", 2, icp.Config(dim=2)),
+         "scan1_gicp_pairs_per_sec"),
+    )
+    for variant, method, row_name in specs:
         state0 = method.init(a, bcl, icp.identity(2, (b,), dtype=jnp.float32))
         reps = 100
 
@@ -992,7 +1000,7 @@ def run_ndt_roofline(metrics, jnp, icp):
         def run(state, method=method):
             return jax.lax.fori_loop(0, reps, lambda _, s: method.iterate(s), state)
 
-        _progress(f"ndt_roofline: compiling chained {variant} iterate ({b}, {n}) ...")
+        _progress(f"roofline[{variant}]: compiling chained iterate ({b}, {n}) ...")
         try:
             ca = jax.jit(method.iterate).lower(state0).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -1000,7 +1008,7 @@ def run_ndt_roofline(metrics, jnp, icp):
             flops = float(ca.get("flops", 0.0))
             byts = float(ca.get("bytes accessed", 0.0))
         except Exception as e:
-            _progress(f"ndt_roofline: cost_analysis unavailable ({e}); skipped")
+            _progress(f"roofline[{variant}]: cost_analysis unavailable ({e}); skipped")
             return
         compiled = run.lower(state0).compile()
         state = compiled(state0)
@@ -1014,18 +1022,13 @@ def run_ndt_roofline(metrics, jnp, icp):
         # Mean iterations of the corresponding matrix cell (measured ~9 for
         # p2d single-scale on the hard fleet) bounds converge throughput.
         iters_row = next(
-            (
-                m for m in metrics
-                if m["metric"] == f"scan1_ndt{'_d2d' if variant == 'd2d' else ''}"
-                "_pairs_per_sec"
-            ),
-            None,
+            (m for m in metrics if m["metric"] == row_name), None
         )
         mean_iters = iters_row.get("mean_iterations") if iters_row else None
         ceiling = b / (best * mean_iters) if mean_iters else None
         metrics.append(
             {
-                "metric": f"ndt_{variant}_iterate_roofline",
+                "metric": f"{variant}_iterate_roofline",
                 "value": round(best * 1e3, 3),
                 "unit": (
                     f"ms/iterate at ({b}, {n}) (XLA cost model: "
@@ -1046,7 +1049,7 @@ def run_ndt_roofline(metrics, jnp, icp):
             }
         )
         _progress(
-            f"ndt_roofline[{variant}]: {best * 1e3:.2f} ms/iterate, "
+            f"roofline[{variant}]: {best * 1e3:.2f} ms/iterate, "
             f"{flops / best / 1e9:.0f} GFLOP/s achieved"
             + (
                 f"; ceiling at mean_iters {ceiling:.0f} pairs/s"

@@ -382,3 +382,33 @@ def test_robust_solve_explicit_scale_and_errors(rng):
         robustness.inject_outliers(graph, 1.0)
     with pytest.raises(ValueError, match="mode"):
         robustness.inject_outliers(graph, 0.2, mode="adversarial")
+
+
+def test_dense_solver_f32_conditioning(rng):
+    """The Jacobi-scaled dense GN solve stays finite in f32 from a far
+    (odometry-chain) init.  Round-5 regression pin: the unscaled normal
+    matrix mixes edge weights (~1e2), unit blocks, and bare damping on
+    zero-weight padding edges — past f32's LU range; the L2 pre-solve
+    NaN'd on its FIRST step from the chain init (f64 converged 23830 ->
+    657), which surfaced as scale=inf in the streaming two-pass.  The
+    scaling is an exact-arithmetic no-op (f64 parity is held by every
+    solver test); this pins the f32 side."""
+    import dataclasses as dc
+
+    import jax
+
+    graph, _, _ = _two_lap_square(rng, drift=0.05)
+    # f32 + stiff weights + zero-weight padding edges: the measured
+    # conditioning regime.
+    g32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64
+        else x,
+        graph,
+    )
+    g32 = dc.replace(g32, weights=g32.weights * 100.0)
+    g32 = pose_graph.pad_edges(pose_graph.pad_nodes(g32, 128), 100)
+    opt, costs = pose_graph.optimize(g32, iterations=20, solver="dense")
+    c = np.asarray(costs)
+    assert np.all(np.isfinite(c)), c
+    assert c[-1] < 0.05 * c[0], c  # actually converged, not just finite
